@@ -1,0 +1,615 @@
+"""Minimal, JSDOMParser-style DOM for the extraction kernel.
+
+This is a from-scratch Python re-derivation of the reference's lightweight
+DOM layer (reference: domparser.go).  It deliberately reproduces that
+parser's *quirks*, because the golden corpus outputs depend on them:
+
+  * comments / processing instructions are discarded (domparser.go:1065-1066)
+  * CDATA sections become plain text nodes (domparser.go:1079-1085)
+  * text nodes cache their RAW source form (entities preserved) and decode
+    only the XML entity subset + numeric char refs (domparser.go:44-100,629-656)
+  * an end tag closes only the innermost open element; mismatched end tags
+    are silently dropped (domparser.go:1124-1127) -- no HTML5 error recovery
+  * bare (non-self-closed) start tags always open a scope, *including void
+    elements* (domparser_test.go:357-367: ``<input><p>..</p></input>`` nests)
+  * namespace prefixes are stripped from element names but NOT from end
+    tags, so prefixed end tags never match (domparser.go:722-740)
+  * only the first <title> wins; head/body/documentElement are captured when
+    the element completes (domparser.go:1111-1119)
+  * root-level children other than <html> are dropped when <html> exists
+    (domparser.go:1142-1153)
+  * script/noscript content is tokenized as markup, not raw text
+    (domparser.go:1102-1104); style/title/textarea/iframe etc. stay raw text
+  * text runs that start with '<' (and are not CDATA) are dropped
+    (domparser.go:1079-1088)
+  * the serializer escapes exactly ``< > &`` in text and ``< > & " '`` in
+    attribute values, and self-closes empty void elements (domparser.go:891-936)
+
+The tree is single-document, fully mutable, and never crosses a Spark row
+boundary: one instance lives only inside one vectorized-UDF batch iteration.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser as _HTMLParser
+from urllib.parse import urljoin
+
+from .regexps import ENTITY_REFERENCES, HTML_CHAR_CODES
+
+ELEMENT_NODE = 1
+TEXT_NODE = 3
+CDATA_SECTION_NODE = 4
+COMMENT_NODE = 8
+DOCUMENT_NODE = 9
+DOCUMENT_TYPE_NODE = 10
+
+# Elements the *serializer* may self-close (domparser.go:295-310).
+VOID_ELEMS = frozenset(
+    (
+        "area", "base", "br", "col", "command", "embed", "hr", "img",
+        "input", "link", "meta", "param", "source", "wbr",
+    )
+)
+
+_ENTITY_MAP = {"lt": "<", "gt": ">", "amp": "&", "quot": '"', "apos": "'"}
+
+
+def decode_html(s: str) -> str:
+    """Decode the XML entity subset + numeric char refs (domparser.go:74-100).
+
+    Deliberately NOT the full HTML5 entity table: ``&nbsp;`` et al. stay
+    literal, matching the reference.  Invalid/surrogate code points map to
+    U+FFFD the way Go's ``rune`` conversion does.
+    """
+    if "&" not in s:
+        return s
+    s = ENTITY_REFERENCES.sub(lambda m: _ENTITY_MAP[m.group(1)], s)
+    # Mirror the reference: collect submatches first, then replace every
+    # occurrence of each matched literal globally, in match order.
+    for m in list(HTML_CHAR_CODES.finditer(s)):
+        hexpart, decpart = m.group(1), m.group(2)
+        cp = int(hexpart, 16) if hexpart else int(decpart)
+        ch = "�" if 0xD800 <= cp <= 0xDFFF else chr(cp)
+        s = s.replace(m.group(0), ch)
+    return s
+
+
+def encode_text_content_html(text: str) -> str:
+    """Escape ``& < >`` only (domparser.go:52-56,66-68)."""
+    return text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def encode_html(text: str) -> str:
+    """Escape ``& < > " '`` (domparser.go:58-64,70-72)."""
+    return (
+        text.replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+        .replace('"', "&quot;")
+        .replace("'", "&apos;")
+    )
+
+
+class Node:
+    """One node: element, text, document or doctype (domparser.go:355-383)."""
+
+    __slots__ = (
+        "node_type",
+        "local_name",
+        "tag_name",
+        "node_name",
+        "_text_content",
+        "_inner_html",
+        "attributes",
+        "parent_node",
+        "next_sibling",
+        "previous_sibling",
+        "previous_element_sibling",
+        "next_element_sibling",
+        "child_nodes",
+        "children",
+        "document_uri",
+        "_base_uri",
+        "title",
+        "head",
+        "body",
+        "document_element",
+        "content_score",
+        "data_table",
+    )
+
+    def __init__(self, node_type: int, node_name: str = "") -> None:
+        self.node_type = node_type
+        self.local_name = ""
+        self.tag_name = ""
+        self.node_name = node_name
+        self._text_content: str | None = None
+        self._inner_html: str | None = None
+        self.attributes: list[list[str]] = []
+        self.parent_node: Node | None = None
+        self.next_sibling: Node | None = None
+        self.previous_sibling: Node | None = None
+        self.previous_element_sibling: Node | None = None
+        self.next_element_sibling: Node | None = None
+        self.child_nodes: list[Node] = []
+        self.children: list[Node] = []
+        self.document_uri = ""
+        self._base_uri = ""
+        self.title = ""
+        self.head: Node | None = None
+        self.body: Node | None = None
+        self.document_element: Node | None = None
+        # Algorithm annotations (domparser.go:385-391): None == uninitialized.
+        self.content_score: float | None = None
+        self.data_table: bool | None = None
+
+    def __repr__(self) -> str:  # debugging aid only
+        if self.node_type == TEXT_NODE:
+            return f"#text({self.get_text_content()[:40]!r})"
+        return f"<{self.local_name or self.node_name} {self.attributes}>"
+
+    # -- basic accessors ---------------------------------------------------
+
+    def first_child(self) -> Node | None:
+        return self.child_nodes[0] if self.child_nodes else None
+
+    def last_child(self) -> Node | None:
+        return self.child_nodes[-1] if self.child_nodes else None
+
+    def first_element_child(self) -> Node | None:
+        return self.children[0] if self.children else None
+
+    # -- mutation (mirrors domparser.go:421-583) -----------------------------
+
+    def append_child(self, child: Node) -> None:
+        if child.parent_node is not None:
+            child.parent_node.remove_child(child)
+
+        last = self.last_child()
+        if last is not None:
+            last.next_sibling = child
+        child.previous_sibling = last
+
+        if child.node_type == ELEMENT_NODE:
+            if self.children:
+                child.previous_element_sibling = self.children[-1]
+            self.children.append(child)
+            if child.previous_element_sibling is not None:
+                child.previous_element_sibling.next_element_sibling = child
+
+        self.child_nodes.append(child)
+        child.parent_node = self
+
+    def remove_child(self, child: Node) -> Node:
+        idx = _index_of(child, self.child_nodes)
+        if idx == -1:
+            raise ValueError("remove_child: node not found")
+        child.parent_node = None
+        prev, nxt = child.previous_sibling, child.next_sibling
+        if prev is not None:
+            prev.next_sibling = nxt
+        if nxt is not None:
+            nxt.previous_sibling = prev
+
+        if child.node_type == ELEMENT_NODE:
+            eprev, enxt = child.previous_element_sibling, child.next_element_sibling
+            if eprev is not None:
+                eprev.next_element_sibling = enxt
+            if enxt is not None:
+                enxt.previous_element_sibling = eprev
+            del self.children[_index_of(child, self.children)]
+
+        child.previous_sibling = child.next_sibling = None
+        child.previous_element_sibling = child.next_element_sibling = None
+        del self.child_nodes[idx]
+        return child
+
+    def replace_child(self, new_node: Node, old_node: Node) -> Node:
+        child_nodes = self.child_nodes
+        idx = _index_of(old_node, child_nodes)
+        if idx == -1:
+            raise ValueError("replace_child: node not found")
+        if new_node.parent_node is not None:
+            new_node.parent_node.remove_child(new_node)
+        child_nodes[idx] = new_node
+
+        new_node.next_sibling = old_node.next_sibling
+        new_node.previous_sibling = old_node.previous_sibling
+        if new_node.next_sibling is not None:
+            new_node.next_sibling.previous_sibling = new_node
+        if new_node.previous_sibling is not None:
+            new_node.previous_sibling.next_sibling = new_node
+        new_node.parent_node = self
+
+        if new_node.node_type == ELEMENT_NODE:
+            if old_node.node_type == ELEMENT_NODE:
+                new_node.previous_element_sibling = old_node.previous_element_sibling
+                new_node.next_element_sibling = old_node.next_element_sibling
+                if new_node.previous_element_sibling is not None:
+                    new_node.previous_element_sibling.next_element_sibling = new_node
+                if new_node.next_element_sibling is not None:
+                    new_node.next_element_sibling.previous_element_sibling = new_node
+                self.children[_index_of(old_node, self.children)] = new_node
+            else:
+                new_node.previous_element_sibling = next(
+                    (child_nodes[i] for i in range(idx - 1, -1, -1)
+                     if child_nodes[i].node_type == ELEMENT_NODE),
+                    None,
+                )
+                if new_node.previous_element_sibling is not None:
+                    new_node.next_element_sibling = (
+                        new_node.previous_element_sibling.next_element_sibling
+                    )
+                else:
+                    new_node.next_element_sibling = next(
+                        (child_nodes[i] for i in range(idx + 1, len(child_nodes))
+                         if child_nodes[i].node_type == ELEMENT_NODE),
+                        None,
+                    )
+                if new_node.previous_element_sibling is not None:
+                    new_node.previous_element_sibling.next_element_sibling = new_node
+                if new_node.next_element_sibling is not None:
+                    new_node.next_element_sibling.previous_element_sibling = new_node
+                if new_node.next_element_sibling is not None:
+                    self.children.insert(
+                        _index_of(new_node.next_element_sibling, self.children), new_node
+                    )
+                else:
+                    self.children.append(new_node)
+        elif old_node.node_type == ELEMENT_NODE:
+            if old_node.previous_element_sibling is not None:
+                old_node.previous_element_sibling.next_element_sibling = (
+                    old_node.next_element_sibling
+                )
+            if old_node.next_element_sibling is not None:
+                old_node.next_element_sibling.previous_element_sibling = (
+                    old_node.previous_element_sibling
+                )
+            del self.children[_index_of(old_node, self.children)]
+
+        old_node.parent_node = None
+        old_node.previous_sibling = old_node.next_sibling = None
+        if old_node.node_type == ELEMENT_NODE:
+            old_node.previous_element_sibling = old_node.next_element_sibling = None
+        return old_node
+
+    # -- attributes (ordered, last-write-wins lookup; domparser.go:742-785) --
+
+    def get_attribute(self, name: str) -> str:
+        for i in range(len(self.attributes) - 1, -1, -1):
+            if self.attributes[i][0] == name:
+                return self.attributes[i][1]
+        return ""
+
+    def set_attribute(self, name: str, value: str) -> None:
+        for attr in self.attributes:
+            if attr[0] == name:
+                attr[1] = value
+                return
+        self.attributes.append([name, value])
+
+    def remove_attribute(self, name: str) -> None:
+        for i, attr in enumerate(self.attributes):
+            if attr[0] == name:
+                del self.attributes[i]
+                return
+
+    def has_attribute(self, name: str) -> bool:
+        return any(a[0] == name for a in self.attributes)
+
+    @property
+    def class_name(self) -> str:
+        return self.get_attribute("class")
+
+    @property
+    def id(self) -> str:
+        return self.get_attribute("id")
+
+    def get_style(self, css_name: str) -> str:
+        """Naive style-attribute lookup (domparser.go:797-815)."""
+        attr = self.get_attribute("style")
+        if not attr:
+            return ""
+        for chunk in attr.split(";"):
+            parts = chunk.split(":")
+            if parts[0].strip() == css_name:
+                return parts[1].strip() if len(parts) > 1 else ""
+        return ""
+
+    # -- queries -------------------------------------------------------------
+
+    def get_elements_by_tag_name(self, tag: str) -> list[Node]:
+        """Pre-order element scan (domparser.go:331-353)."""
+        all_tags = tag == "*"
+        tag_up = tag.upper()
+        out: list[Node] = []
+        stack = [iter(self.children)]
+        while stack:
+            it = stack[-1]
+            child = next(it, None)
+            if child is None:
+                stack.pop()
+                continue
+            if all_tags or child.tag_name == tag_up:
+                out.append(child)
+            if child.children:
+                stack.append(iter(child.children))
+        return out
+
+    def get_element_by_id(self, id_: str) -> Node | None:
+        if self.id == id_:
+            return self
+        stack = list(reversed(self.children))
+        while stack:
+            n = stack.pop()
+            if n.id == id_:
+                return n
+            stack.extend(reversed(n.children))
+        return None
+
+    # -- text / html content (domparser.go:629-656,891-1005) -----------------
+
+    def get_text_content(self) -> str:
+        if self.node_type == TEXT_NODE:
+            if self._text_content is None:
+                self._text_content = decode_html(self._inner_html or "")
+            return self._text_content
+        if self.node_type == ELEMENT_NODE:
+            parts: list[str] = []
+            stack = [iter(self.child_nodes)]
+            while stack:
+                it = stack[-1]
+                child = next(it, None)
+                if child is None:
+                    stack.pop()
+                    continue
+                if child.node_type == TEXT_NODE:
+                    parts.append(child.get_text_content())
+                elif child.child_nodes:
+                    stack.append(iter(child.child_nodes))
+            return "".join(parts)
+        return self._text_content or ""
+
+    def set_text_content(self, text: str) -> None:
+        if self.node_type == TEXT_NODE:
+            self._text_content = text
+            self._inner_html = None
+        elif self.node_type == ELEMENT_NODE:
+            for c in reversed(self.child_nodes):
+                c.parent_node = None
+            t = new_text()
+            t._text_content = text
+            t.parent_node = self
+            self.child_nodes = [t]
+            self.children = []
+        else:
+            self._text_content = text
+
+    def get_inner_html(self) -> str:
+        """Serialize children exactly like the reference (domparser.go:891-936)."""
+        if self.node_type == TEXT_NODE:
+            if self._inner_html is None:
+                self._inner_html = encode_text_content_html(self._text_content or "")
+            return self._inner_html
+        out: list[str] = []
+        # Work stack holds either ("node", n) to emit or ("close", name).
+        stack: list[object] = list(reversed(self.child_nodes))
+        while stack:
+            item = stack.pop()
+            if isinstance(item, str):
+                out.append(item)
+                continue
+            child = item
+            if child.local_name:
+                out.append("<" + child.local_name)
+                for name, value in child.attributes:
+                    val = encode_html(value)
+                    quote = "'" if '"' in val else '"'
+                    out.append(" " + name + "=" + quote + val + quote)
+                if child.local_name in VOID_ELEMS and not child.child_nodes:
+                    out.append("/>")
+                else:
+                    out.append(">")
+                    stack.append("</" + child.local_name + ">")
+                    stack.extend(reversed(child.child_nodes))
+            else:
+                out.append(child.get_inner_html())
+        return "".join(out)
+
+    def set_inner_html(self, html: str) -> None:
+        if self.node_type == TEXT_NODE:
+            self._inner_html = html
+            self._text_content = None
+        elif self.node_type == ELEMENT_NODE:
+            frag = parse_html(html, "")
+            for c in reversed(self.child_nodes):
+                c.parent_node = None
+            self.child_nodes = frag.child_nodes
+            self.children = frag.children
+            for c in self.child_nodes:
+                c.parent_node = self
+        else:
+            self._inner_html = html
+
+    # -- document-level ------------------------------------------------------
+
+    def get_base_uri(self) -> str:
+        """First-<base> resolution, memoized (domparser.go:697-720)."""
+        if not self._base_uri:
+            self._base_uri = self.document_uri
+            bases = self.get_elements_by_tag_name("base")
+            if bases:
+                href = bases[0].get_attribute("href")
+                if href:
+                    try:
+                        self._base_uri = urljoin(self.document_uri, href)
+                    except ValueError:
+                        return self.document_uri
+        return self._base_uri
+
+
+def _index_of(node: Node, nodes: list[Node]) -> int:
+    for i, n in enumerate(nodes):
+        if n is node:
+            return i
+    return -1
+
+
+def new_text() -> Node:
+    return Node(TEXT_NODE, "#text")
+
+
+def new_document(url: str) -> Node:
+    doc = Node(DOCUMENT_NODE, "#document")
+    doc.document_uri = url
+    return doc
+
+
+def new_element(tag: str) -> Node:
+    """Namespace-unaware element factory (domparser.go:722-740)."""
+    n = Node(ELEMENT_NODE)
+    if ":" in tag:
+        tag = tag.rsplit(":", 1)[1]
+    n.local_name = tag.lower()
+    n.tag_name = tag.upper()
+    return n
+
+
+def create_text_node(text: str) -> Node:
+    t = new_text()
+    t.set_text_content(text)
+    return t
+
+
+_INTERESTING_LT = re.compile("<")
+
+
+class _DOMBuilder(_HTMLParser):
+    """Tokenizer-driven tree builder mirroring domparser.go:1029-1155.
+
+    Raw-text elements match the Go tokenizer's set minus script/noscript
+    (which the reference explicitly opts out of raw-text mode for,
+    domparser.go:1102-1104).
+    """
+
+    CDATA_CONTENT_ELEMENTS = (
+        "style", "title", "textarea", "iframe", "xmp", "noembed", "noframes",
+    )
+
+    def __init__(self, doc: Node) -> None:
+        super().__init__(convert_charrefs=False)
+        self.doc = doc
+        self.stack: list[Node] = [doc]
+        self._buf: list[str] = []
+        # '&' is never interesting: raw entity spellings flow into text
+        # nodes verbatim (decoded lazily, domparser.go:629-639).
+        self.interesting = _INTERESTING_LT
+
+    def clear_cdata_mode(self) -> None:  # keep '&' uninteresting after raw text
+        super().clear_cdata_mode()
+        self.interesting = _INTERESTING_LT
+
+    # -- text buffering ------------------------------------------------------
+
+    def handle_data(self, data: str) -> None:
+        self._buf.append(data)
+
+    def handle_entityref(self, name: str) -> None:  # pragma: no cover - '&' never interesting
+        self._buf.append("&" + name + ";")
+
+    def handle_charref(self, name: str) -> None:  # pragma: no cover
+        self._buf.append("&#" + name + ";")
+
+    def _flush_text(self) -> None:
+        if not self._buf:
+            return
+        raw = "".join(self._buf)
+        self._buf.clear()
+        if raw.startswith("<"):
+            # Unhandled text token starting with '<' is dropped by the
+            # reference (domparser.go:1079-1088).
+            return
+        t = new_text()
+        t._inner_html = raw
+        self.stack[-1].append_child(t)
+
+    # -- structural events -----------------------------------------------------
+
+    def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        self._flush_text()
+        node = new_element(tag)
+        for name, value in attrs:
+            node.set_attribute(name, value if value is not None else "")
+        self.stack[-1].append_child(node)
+        # Bare start tags always open a scope -- even void elements
+        # (domparser_test.go:357-367).
+        self.stack.append(node)
+
+    def handle_startendtag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        self._flush_text()
+        node = new_element(tag)
+        for name, value in attrs:
+            node.set_attribute(name, value if value is not None else "")
+        self.stack[-1].append_child(node)
+        self._finish_element(node)
+
+    def handle_endtag(self, tag: str) -> None:
+        self._flush_text()
+        # End tags close only the innermost open element; anything else is
+        # ignored (domparser.go:1124-1127).  The comparison uses the raw
+        # (possibly namespace-prefixed) end-tag name vs the stripped local
+        # name, so prefixed end tags never match.
+        if len(self.stack) > 1 and self.stack[-1].local_name == tag:
+            node = self.stack.pop()
+            self._finish_element(node)
+
+    def _finish_element(self, node: Node) -> None:
+        local = node.local_name
+        if local == "title":
+            if not self.doc.title:
+                self.doc.title = node.get_text_content().strip()
+        elif local == "head":
+            self.doc.head = node
+        elif local == "body":
+            self.doc.body = node
+        elif local == "html":
+            self.doc.document_element = node
+
+    def handle_comment(self, data: str) -> None:
+        self._flush_text()  # comments discarded (domparser.go:1065-1066)
+
+    def handle_pi(self, data: str) -> None:
+        self._flush_text()  # processing instructions -> bogus comments -> dropped
+
+    def handle_decl(self, decl: str) -> None:
+        self._flush_text()
+        if decl.lower().startswith("doctype"):
+            self.stack[-1].append_child(Node(DOCUMENT_TYPE_NODE, "#documentType"))
+
+    def handle_unknown_decl(self, data: str) -> None:
+        self._flush_text()
+        if data.startswith("CDATA["):
+            t = new_text()
+            t.set_text_content(data[len("CDATA["):])
+            self.stack[-1].append_child(t)
+
+    def finish(self) -> None:
+        self.close()
+        self._flush_text()
+        while len(self.stack) > 1:
+            self._finish_element(self.stack.pop())
+
+
+def parse_html(html_src: str, url: str = "") -> Node:
+    """Parse an HTML string into a document node (domparser.go:1133-1155)."""
+    doc = new_document(url)
+    builder = _DOMBuilder(doc)
+    builder.feed(html_src)
+    builder.finish()
+
+    if doc.document_element is not None:
+        for child in list(reversed(doc.child_nodes)):
+            if child is not doc.document_element:
+                doc.remove_child(child)
+    return doc
