@@ -587,7 +587,7 @@ class _DOMBuilder(_HTMLParser):
         if decl.lower().startswith("doctype"):
             self.stack[-1].append_child(Node(DOCUMENT_TYPE_NODE, "#documentType"))
 
-    def handle_unknown_decl(self, data: str) -> None:
+    def unknown_decl(self, data: str) -> None:
         self._flush_text()
         if data.startswith("CDATA["):
             t = new_text()

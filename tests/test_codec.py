@@ -1,0 +1,97 @@
+"""Span-codec tests: byte-exact round trip + normalization invariants."""
+
+import os
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from go_readability_spark.codec.spans import (
+    Span,
+    dom_to_spans,
+    html_fragment_to_normalized_spans,
+    html_to_spans,
+    rows_to_html,
+    spans_to_html,
+)
+from go_readability_spark.kernel.dom import parse_html
+from go_readability_spark.kernel.golden import FIXTURES_DIR, list_fixtures
+
+
+@pytest.mark.parametrize("name", list_fixtures())
+def test_input_codec_roundtrip_fixture(name):
+    """Reassembling spans in offset order reproduces source byte-for-byte."""
+    with open(os.path.join(FIXTURES_DIR, name, "source.html"), encoding="utf-8") as f:
+        src = f.read()
+    spans = html_to_spans(src)
+    assert spans_to_html(spans) == src
+    # offsets are dense and ordered
+    assert [s.offset for s in spans] == list(range(len(spans)))
+
+
+def test_media_spans_extracted():
+    html = '<div><p>a</p><img src="http://x/y.png" alt="z"/><video src="v.mp4"></video></div>'
+    spans = html_to_spans(html)
+    kinds = [s.kind for s in spans]
+    assert kinds == ["markup", "img", "video", "markup"]
+    assert spans[1].media_ref == "http://x/y.png"
+    assert spans[2].media_ref == "v.mp4"
+    assert spans_to_html(spans) == html
+
+
+def test_rows_to_html_handles_shuffled_offsets():
+    html = "<p>one</p><img src='s.png'/><p>two</p>"
+    rows = [s.as_row() for s in html_to_spans(html)]
+    rows.reverse()
+    assert rows_to_html(rows) == html
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="<>&"),
+            max_size=30,
+        ),
+        max_size=8,
+    )
+)
+def test_input_codec_roundtrip_random_text(chunks):
+    html = "<img src='a.png'/>".join(chunks)
+    assert spans_to_html(html_to_spans(html)) == html
+
+
+def test_output_codec_normalization():
+    spans = html_fragment_to_normalized_spans(
+        '<div class="b a">  hello\n  <b>world </b> <img src="i.png"/></div>'
+    )
+    tuples = [(s.kind, s.text, s.media_ref) for s in spans]
+    assert tuples == [
+        ("markup", '<div class="b a">', ""),
+        ("text", "hello", ""),
+        ("markup", "<b>", ""),
+        ("text", "world", ""),
+        ("markup", "</b>", ""),
+        ("img", '<img src="i.png">', "i.png"),
+        ("markup", "</div>", ""),
+    ]
+
+
+def test_output_codec_attr_order_insensitive():
+    a = html_fragment_to_normalized_spans('<p id="x" class="y">t</p>')
+    b = html_fragment_to_normalized_spans('<p class="y" id="x">t</p>')
+    assert [s.as_tuple() for s in a] == [s.as_tuple() for s in b]
+
+
+def test_output_codec_skips_empty_text():
+    spans = html_fragment_to_normalized_spans("<div>\n   \n<p>x</p>  </div>")
+    assert [s.text for s in spans] == ["<div>", "<p>", "x", "</p>", "</div>"]
+
+
+def test_serialize_reparse_stability():
+    """Engine-side spans from the live DOM == spans from serialize+reparse."""
+    html = '<div><p>a &amp; b</p><img src="i.png"/><ul><li>x</li></ul></div>'
+    doc = parse_html(html, "")
+    direct = dom_to_spans(doc)
+    reparsed = html_fragment_to_normalized_spans(doc.get_inner_html())
+    assert [s.as_tuple() for s in direct] == [s.as_tuple() for s in reparsed]
