@@ -1,0 +1,87 @@
+"""Bench harness: headline extraction throughput + per-query timings.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "docs_per_sec": ..., "cpus": ...}
+
+Env:
+  SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] parallelism (default 32)
+  BENCH_QUERIES       comma-list to restrict (default: all)
+
+The headline is the flagship extraction pipeline: synthesize the
+interleaved-span corpus (mapInPandas page builder) → salted repartition →
+Arc90 kernel extraction (mapInPandas) → count.  docs/sec is measured over
+the extraction job wall time.  tools/bench_scaling.py runs this at two
+parallelism levels for the N→4N scaling-efficiency evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    only = {q for q in os.environ.get("BENCH_QUERIES", "").split(",") if q}
+
+    import __spark_entry__ as e
+    from go_readability_spark.spark.corpus import synthesize_documents
+    from go_readability_spark.spark.extract import route_and_extract
+    from go_readability_spark.spark.session import build_session
+
+    spark = build_session(cpus=cpus, app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # --- headline: extraction throughput ------------------------------
+    # Materialize the span corpus first (parquet) so the timed section
+    # measures extraction, not synthesis.
+    corpus_path = os.path.join(
+        os.environ.get("BENCH_TMP", "/tmp"), f"bench_corpus_{os.path.basename(sf_dir)}"
+    )
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        synthesize_documents(spark, sf_dir).write.mode("overwrite").parquet(corpus_path)
+    docs = spark.read.parquet(corpus_path)
+    n_docs = docs.count()
+
+    t0 = time.time()
+    extracted = route_and_extract(docs, num_partitions=cpus * 2)
+    n_out = extracted.count()
+    headline_sec = time.time() - t0
+    docs_per_sec = n_out / headline_sec
+
+    # --- per-query timings -------------------------------------------
+    timings: dict[str, float] = {}
+    for name, fn in e.queries().items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "extraction_wall_sec",
+                "value": round(headline_sec, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "docs_per_sec": round(docs_per_sec, 2),
+                "n_docs": n_docs,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,146 @@
+"""Deterministic corpus synthesis → the interleaved-span documents table.
+
+Two generators, both emitting ``DOCUMENTS_SCHEMA`` rows (BASELINE.json
+``input_hint`` shape):
+
+1. ``fixture_documents`` — the reference's 119 golden pages
+   (/root/reference/testdata/test-pages), for end-to-end correctness.
+2. ``synthesize_documents`` — article-shaped HTML pages generated
+   deterministically from the driver's ``documents.parquet`` text corpus
+   (TESTDATA.md), for throughput/scaling benchmarks.  Generation happens
+   *inside* ``mapInPandas`` so it scales with the cluster — the driver never
+   materializes pages.  No randomness: all variation is modular arithmetic
+   on ``doc_id``, so sf0.01 tonight equals sf0.01 tomorrow.
+
+Synthetic pages deliberately include the boilerplate families the kernel
+must strip (nav/sidebar/comments/footer/share/script — regexps.go:8,17)
+and interleaved media anchors (img/figure/video-iframe) whose spans must
+survive exactly when their DOM position survives cleanup.  Every ~500th
+document is a mega-doc (content ×64) to exercise skew routing.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..codec.spans import html_to_spans
+from .schema import DOCUMENTS_SCHEMA
+
+FIXTURES_DIR = "/root/reference/testdata/test-pages"
+FIXTURE_URI = "http://fakehost/test/page.html"
+
+_STOP_EVERY_WORDS = 13  # sentence length in words
+_SENTS_PER_PARA = 4
+
+
+def fixture_documents(spark: SparkSession, root: str = FIXTURES_DIR) -> DataFrame:
+    """119 golden fixtures as one small documents DataFrame."""
+    rows = []
+    for name in sorted(os.listdir(root)):
+        src = os.path.join(root, name, "source.html")
+        if not os.path.isfile(src):
+            continue
+        with open(src, encoding="utf-8") as f:
+            html = f.read()
+        rows.append(
+            {
+                "doc_id": name,
+                "uri": FIXTURE_URI,
+                "spans": [s.as_row() for s in html_to_spans(html)],
+            }
+        )
+    return spark.createDataFrame(rows, schema=DOCUMENTS_SCHEMA)
+
+
+def synth_html(doc_id: int, text: str, lang: str, source: str) -> str:
+    """One deterministic article-shaped page from a text row."""
+    words = text.split()
+    if not words:
+        words = ["empty"]
+    title_words = " ".join(words[:5])
+    rep = 2 + (doc_id % 3)
+    if doc_id % 500 == 499:
+        rep = 64  # mega-doc: skew probe
+    body_words = (words * rep)[: len(words) * rep]
+
+    sentences = []
+    for i in range(0, len(body_words), _STOP_EVERY_WORDS):
+        chunk = " ".join(body_words[i : i + _STOP_EVERY_WORDS])
+        sentences.append(chunk[:1].upper() + chunk[1:] + ("," if i % 3 else "") + ".")
+    paras = []
+    for i in range(0, len(sentences), _SENTS_PER_PARA):
+        paras.append(" ".join(sentences[i : i + _SENTS_PER_PARA]))
+
+    parts = [
+        "<!DOCTYPE html>",
+        f'<html lang="{lang}"><head>',
+        f"<title>Doc {doc_id}: {title_words} | SynthSite</title>",
+        f'<meta property="og:title" content="Doc {doc_id}: {title_words}"/>',
+        '<meta property="og:site_name" content="SynthSite"/>',
+        f'<meta name="author" content="Author {doc_id % 7}"/>',
+        "</head><body>",
+        '<nav><ul><li><a href="/home">Home</a></li><li><a href="/about">About</a></li>'
+        '<li><a href="/archive">Archive</a></li></ul></nav>',
+        '<div class="sidebar"><a href="/ad1">Sponsored thing one</a>'
+        '<a href="/ad2">Sponsored thing two</a></div>',
+        '<div id="main"><article>',
+        f"<h1>Doc {doc_id}: {title_words}</h1>",
+        f'<p class="byline">By Author {doc_id % 7}</p>',
+    ]
+    for i, p in enumerate(paras):
+        parts.append(f"<p>{p}</p>")
+        if i % 3 == 1:
+            parts.append(
+                f'<img src="/images/{source}/{doc_id}-{i}.jpg" alt="figure {i}"/>'
+            )
+        if i % 7 == 5:
+            parts.append(
+                f'<figure><img src="/figures/{doc_id}-{i}.png"/>'
+                f"<figcaption>Figure {i}</figcaption></figure>"
+            )
+    if doc_id % 11 == 3:
+        parts.append(
+            f'<iframe src="https://www.youtube.com/embed/v{doc_id}"></iframe>'
+        )
+    parts += [
+        "</article></div>",
+        f'<div id="comments"><div class="comment">First comment on {doc_id}</div>'
+        '<div class="comment">Totally agree with this</div></div>',
+        '<div class="share"><a href="/share/fb">Share</a><a href="/share/tw">Tweet</a></div>',
+        '<footer><p>Copyright SynthSite. All rights reserved.</p></footer>',
+        "<script>var tracking = 1;</script>",
+        "</body></html>",
+    ]
+    return "\n".join(parts)
+
+
+def _synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = []
+        for row in pdf.itertuples(index=False):
+            doc_id = int(row.doc_id)
+            html = synth_html(doc_id, row.text or "", row.lang or "en", row.source or "src")
+            out.append(
+                {
+                    "doc_id": f"doc-{doc_id:09d}",
+                    "uri": f"http://synth.example/{row.source}/{doc_id}.html",
+                    "spans": [s.as_row() for s in html_to_spans(html)],
+                }
+            )
+        yield pd.DataFrame(out, columns=["doc_id", "uri", "spans"])
+
+
+def synthesize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet(text corpus) → interleaved-span documents table.
+
+    Distributed: the page builder runs in ``mapInPandas`` over the scaled
+    text table, so the span corpus is generated where it is consumed.
+    """
+    src = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text", "lang", "source"
+    )
+    return src.mapInPandas(_synth_batches, schema=DOCUMENTS_SCHEMA)

@@ -1,0 +1,162 @@
+"""The extraction operator: spans-in → article-spans-out via ``mapInPandas``.
+
+This is the engine's only Python execution surface (SURVEY.md §2.9): Arrow
+ships batches of whole documents into the Python worker, the per-document
+kernel (go_readability_spark.kernel) runs inside the batch, and results are
+yielded back as Arrow batches.  No per-row Python UDFs, no RDDs — the
+surrounding plan (scan, repartition, filters, aggregations, writes) stays
+entirely JVM-side for Catalyst/Tungsten to optimize.
+
+Scale notes (10^12-doc design point, SURVEY.md §4.2):
+- Memory is bounded per-worker by ``emit_every`` (output rows are yielded in
+  small chunks, independent of Arrow input batch size) plus the single
+  largest document — cap ``spark.sql.execution.arrow.maxRecordsPerBatch``
+  so one mega-doc can't co-batch with hundreds of peers.
+- Skew: ``salted_repartition`` spreads documents uniformly regardless of
+  upstream partitioning (mega-docs cluster by crawl host in real corpora).
+- Oversized docs degrade to ``status='too_large'`` rows via
+  ``max_elems_to_parse`` instead of stalling a task (readability.go:2176-2181).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..codec.spans import html_fragment_to_normalized_spans, rows_to_html
+from ..kernel.options import Options
+from ..kernel.readability import parse_document
+from .schema import ARTICLES_SCHEMA
+
+DEFAULT_URI = "http://fakehost/test/page.html"
+
+_EMPTY = {
+    "spans": None,
+    "title": None,
+    "byline": None,
+    "dir": None,
+    "lang": None,
+    "excerpt": None,
+    "site_name": None,
+    "published_time": None,
+    "text_content": None,
+    "length": None,
+}
+
+
+def extract_one(doc_id: str, span_rows, uri: str | None, options: Options) -> dict:
+    """Run the kernel on one document's span rows → one articles-row dict."""
+    try:
+        html = rows_to_html(span_rows) if span_rows is not None else ""
+    except Exception as exc:  # noqa: BLE001 - malformed span payloads become rows
+        return {"doc_id": doc_id, "status": "parse_error", "error": f"codec: {exc}", **_EMPTY}
+    result, _article, status = parse_document(html, uri or DEFAULT_URI, options)
+    if result is None:
+        return {"doc_id": doc_id, "status": status, "error": None, **_EMPTY}
+    out_spans = [
+        s.as_row() for s in html_fragment_to_normalized_spans(result.html_content)
+    ]
+    return {
+        "doc_id": doc_id,
+        "spans": out_spans,
+        "title": result.title,
+        "byline": result.byline,
+        "dir": result.dir,
+        "lang": result.lang,
+        "excerpt": result.excerpt,
+        "site_name": result.site_name,
+        "published_time": result.published_time,
+        "text_content": result.text_content,
+        "length": result.length,
+        "status": status,
+        "error": None,
+    }
+
+
+def _batch_extractor(options: Options, emit_every: int):
+    cols = [f.name for f in ARTICLES_SCHEMA.fields]
+
+    def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out: list[dict] = []
+        for pdf in batches:
+            has_uri = "uri" in pdf.columns
+            for row in pdf.itertuples(index=False):
+                uri = getattr(row, "uri", None) if has_uri else None
+                out.append(extract_one(row.doc_id, row.spans, uri, options))
+                if len(out) >= emit_every:
+                    yield pd.DataFrame(out, columns=cols)
+                    out = []
+        if out:
+            yield pd.DataFrame(out, columns=cols)
+
+    return extract_batch
+
+
+def extract_articles(
+    df: DataFrame,
+    options: Options | None = None,
+    emit_every: int = 32,
+) -> DataFrame:
+    """documents(doc_id, spans[, uri]) → articles (ARTICLES_SCHEMA).
+
+    Column pruning: only doc_id/spans/uri are sent through Arrow, whatever
+    else the input table carries — Catalyst prunes the scan accordingly.
+    """
+    opts = options or Options(classes_to_preserve=["page", "caption"])
+    keep = [c for c in ("doc_id", "spans", "uri") if c in df.columns]
+    return df.select(*keep).mapInPandas(
+        _batch_extractor(opts, emit_every), schema=ARTICLES_SCHEMA
+    )
+
+
+def with_doc_bytes(df: DataFrame) -> DataFrame:
+    """JVM-side document size (for skew routing / metrics) — no Python."""
+    return df.withColumn(
+        "doc_bytes",
+        F.expr(
+            "aggregate(spans, 0L, (acc, s) -> acc + coalesce(length(s.text), 0L))"
+        ),
+    )
+
+
+def salted_repartition(
+    df: DataFrame, num_partitions: int, salt_buckets: int = 64
+) -> DataFrame:
+    """Uniform spread of documents across tasks regardless of key skew.
+
+    ``xxhash64(doc_id, salt)`` decorrelates from any upstream partitioning
+    (e.g. crawl-host clustering); with one shuffle we get even task sizes,
+    which is what keeps scaling efficiency ≥0.8 when executor count grows
+    (stragglers are the enemy, BASELINE.md north_rule).
+    """
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("doc_id"), F.lit(salt_buckets)), F.lit(num_partitions))
+    )
+    return salted.repartition(num_partitions, F.col("_salt")).drop("_salt")
+
+
+def route_and_extract(
+    df: DataFrame,
+    options: Options | None = None,
+    mega_doc_bytes: int = 4_000_000,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Size-routed extraction: mega-docs take a dedicated fine-grained pass.
+
+    Normal docs flow through one salted repartition; documents larger than
+    ``mega_doc_bytes`` are repartitioned one-per-task so a single 100 MB
+    page can neither co-batch with peers (Arrow memory) nor straggle a
+    fat partition (SURVEY.md §7 hard parts).  Both branches are the same
+    operator — ``unionByName`` recombines.
+    """
+    sized = with_doc_bytes(df)
+    small = sized.filter(F.col("doc_bytes") <= mega_doc_bytes).drop("doc_bytes")
+    mega = sized.filter(F.col("doc_bytes") > mega_doc_bytes).drop("doc_bytes")
+    if num_partitions:
+        small = salted_repartition(small, num_partitions)
+    mega = mega.repartition("doc_id")
+    return extract_articles(small, options).unionByName(
+        extract_articles(mega, options, emit_every=1)
+    )

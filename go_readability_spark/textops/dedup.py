@@ -1,0 +1,265 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Spark-first design notes (10^12-doc scale):
+- Exact dedup is one hash-shuffle on the md5 fingerprint (map-side partial
+  agg; AQE coalesces).
+- MinHash/LSH avoids the O(n²) pair space: signatures are map-side
+  expressions, the only shuffle is the band-bucket self-join whose key
+  (band_idx, band_hash) is high-cardinality and therefore well-spread;
+  AQE skew-join splits any hot bucket.
+- SimHash is a pure map-side fingerprint; collision grouping is one agg.
+- The md5-based hash family is chosen deliberately: bit-identical between
+  Spark and DuckDB, so the oracle checks values, not just shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+SHINGLE_K = 3          # words per shingle
+MINHASH_N = 8          # permutations (md5-salted)
+LSH_BANDS = 4          # bands of MINHASH_N / LSH_BANDS rows each
+SIMHASH_BITS = 16
+JACCARD_THRESHOLD = 0.8
+
+
+def exact_duplicates(documents: DataFrame) -> DataFrame:
+    """Exact dedup via content fingerprint: one row per duplicated
+    fingerprint with the canonical (min) doc_id and the duplicate count."""
+    fp = documents.select(
+        F.col("doc_id"),
+        F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias("fingerprint"),
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .orderBy("fingerprint")
+    )
+
+
+def exact_duplicates_oracle_sql() -> str:
+    return r"""
+SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
+       min(doc_id) AS canonical_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1 HAVING count(*) > 1 ORDER BY fingerprint
+"""
+
+
+def _shingles_col() -> str:
+    """Spark SQL expr: ordered distinct word-K-shingles of column ``w``."""
+    return (
+        f"array_distinct(transform(sequence(0, size(w) - {SHINGLE_K}),"
+        f" i -> concat_ws(' ', slice(w, i + 1, {SHINGLE_K}))))"
+    )
+
+
+def _shingles_duck() -> str:
+    return (
+        f"list_distinct(list_transform(range(0, len(w) - {SHINGLE_K - 1}),"
+        f" i -> array_to_string(w[i + 1 : i + {SHINGLE_K}], ' ')))"
+    )
+
+
+def ngram_jaccard_pairs(documents: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Near-dup pairs by word-{K}-shingle Jaccard similarity.
+
+    Candidate generation: block on (lang, length(text) DIV 64) so only
+    same-language, similar-length docs pair up — at scale the block join
+    shuffles on the block key instead of crossing the corpus.
+    """
+    sh = (
+        documents.select(
+            "doc_id",
+            "lang",
+            F.floor(F.length("text") / 64).cast("int").alias("len_bucket"),
+            F.split(F.col("text"), " ").alias("w"),
+        )
+        .filter(F.size("w") >= SHINGLE_K)
+        .select("doc_id", "lang", "len_bucket", F.expr(_shingles_col()).alias("sh"))
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    jac = pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(
+            F.size(F.array_intersect("a.sh", "b.sh"))
+            / F.size(F.array_union("a.sh", "b.sh")),
+            4,
+        ).alias("jaccard"),
+    )
+    return jac.filter(F.col("jaccard") >= threshold).orderBy("doc_a", "doc_b")
+
+
+def ngram_jaccard_pairs_oracle_sql(threshold: float = JACCARD_THRESHOLD) -> str:
+    return f"""
+WITH sh AS (
+  SELECT doc_id, lang, CAST(floor(length(text) / 64.0) AS INT) AS len_bucket,
+         {_shingles_duck().replace('w', "string_split(text, ' ')")} AS sh
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {SHINGLE_K}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(round(CAST(len(list_intersect(a.sh, b.sh)) * 1.0
+             / len(list_distinct(list_concat(a.sh, b.sh))) AS DECIMAL(18,8)), 4)
+            AS DOUBLE) AS jaccard
+FROM sh a JOIN sh b
+  ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+WHERE CAST(round(CAST(len(list_intersect(a.sh, b.sh)) * 1.0
+            / len(list_distinct(list_concat(a.sh, b.sh))) AS DECIMAL(18,8)), 4)
+           AS DOUBLE) >= {threshold}
+ORDER BY doc_a, doc_b
+"""
+
+
+def _minhash_exprs() -> list[str]:
+    """MinHash row i = lexicographic min of md5('<i>:' || shingle) — a
+    salted hash family identical in Spark and DuckDB."""
+    return [
+        f"array_min(transform(sh, s -> md5(concat('{i}:', s)))) AS mh{i}"
+        for i in range(MINHASH_N)
+    ]
+
+
+def minhash_signatures(documents: DataFrame) -> DataFrame:
+    sh = (
+        documents.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+        .filter(F.size("w") >= SHINGLE_K)
+        .select("doc_id", F.expr(_shingles_col()).alias("sh"))
+    )
+    return sh.selectExpr("doc_id", *_minhash_exprs())
+
+
+def lsh_candidate_pairs(documents: DataFrame) -> DataFrame:
+    """LSH band-bucket candidate pairs: docs sharing ≥1 band signature.
+
+    Bands are md5 over ``rows_per_band`` consecutive minhash rows; the
+    self-join key (band_idx, band_hash) spreads uniformly — the classic
+    way to keep near-dup mining shuffle-bound instead of O(n²).
+    """
+    rows_per_band = MINHASH_N // LSH_BANDS
+    sig = minhash_signatures(documents)
+    band_cols = []
+    for b in range(LSH_BANDS):
+        parts = ", ".join(f"mh{b * rows_per_band + j}" for j in range(rows_per_band))
+        band_cols.append(f"md5(concat_ws('|', {parts})) AS band{b}")
+    banded = sig.selectExpr("doc_id", *band_cols)
+    stacked = banded.selectExpr(
+        "doc_id",
+        "stack({n}, {args}) AS (band_idx, band_hash)".format(
+            n=LSH_BANDS,
+            args=", ".join(f"{b}, band{b}" for b in range(LSH_BANDS)),
+        ),
+    )
+    a, b = stacked.alias("a"), stacked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def lsh_candidate_pairs_oracle_sql() -> str:
+    rows_per_band = MINHASH_N // LSH_BANDS
+    mh = ",\n         ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS mh{i}"
+        for i in range(MINHASH_N)
+    )
+    bands = []
+    for b in range(LSH_BANDS):
+        parts = " || '|' || ".join(
+            f"mh{b * rows_per_band + j}" for j in range(rows_per_band)
+        )
+        bands.append(f"SELECT doc_id, {b} AS band_idx, md5({parts}) AS band_hash FROM sig")
+    union = "\n  UNION ALL\n  ".join(bands)
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_shingles_duck().replace('w', "string_split(text, ' ')")} AS sh
+  FROM documents WHERE len(string_split(text, ' ')) >= {SHINGLE_K}
+), sig AS (
+  SELECT doc_id,
+         {mh}
+  FROM sh
+), banded AS (
+  {union}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+def simhash_fingerprints(documents: DataFrame) -> DataFrame:
+    """{SIMHASH_BITS}-bit SimHash over word tokens (hash = first 4 md5 hex
+    chars → int); returns fingerprint + per-fingerprint collision counts."""
+    bit_sums = []
+    for j in range(SIMHASH_BITS):
+        bit_sums.append(
+            "aggregate(hs, 0L, (acc, h) -> acc + "
+            f"(CASE WHEN (CAST(h / {1 << j} AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END))"
+            f" AS s{j}"
+        )
+    hashed = documents.select(
+        "doc_id",
+        F.expr(
+            "transform(split(text, ' '), t -> cast(conv(substr(md5(t), 1, 4), 16, 10) as bigint))"
+        ).alias("hs"),
+    )
+    sums = hashed.selectExpr("doc_id", *bit_sums)
+    fp_expr = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    fp = sums.selectExpr("doc_id", f"({fp_expr}) AS simhash")
+    return (
+        fp.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .orderBy("simhash")
+    )
+
+
+def simhash_fingerprints_oracle_sql() -> str:
+    bit_sums = ",\n         ".join(
+        f"list_sum(list_transform(hs, h -> CASE WHEN (CAST(h // {1 << j} AS BIGINT)) % 2 = 1 "
+        f"THEN 1 ELSE -1 END)) AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    fp_expr = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH hashed AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+                        t -> ('0x' || substr(md5(t), 1, 4))::BIGINT) AS hs
+  FROM documents
+), sums AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM hashed
+), fp AS (
+  SELECT doc_id, ({fp_expr}) AS simhash FROM sums
+)
+SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc_id
+FROM fp GROUP BY simhash ORDER BY simhash
+"""

@@ -1,0 +1,177 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting (corpus-hygiene stages of a training-data pipeline).
+
+All pure Catalyst expressions — whole-stage-codegen'd, shuffle only at the
+final aggregation; at 100 TB these are scan-bound map-side ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Tiny deterministic English stopword set for the n-gram/stopword language
+# heuristic.  Shared verbatim with the oracle SQL.
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """Per-source token totals: whitespace tokens + a BPE-ish sub-token
+    estimate (words longer than 4 chars count ceil(len/4) pieces)."""
+    toks = documents.select(
+        "source",
+        F.split(F.col("text"), " ").alias("w"),
+    ).select(
+        "source",
+        F.size("w").alias("n_tokens"),
+        F.expr(
+            "aggregate(w, 0L, (acc, t) -> acc + cast(ceil(length(t) / 4.0) as long))"
+        ).alias("n_subtokens"),
+    )
+    return (
+        toks.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_subtokens").alias("total_subtokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def token_counts_oracle_sql() -> str:
+    return """
+SELECT source,
+       count(*) AS n_docs,
+       sum(len(string_split(text, ' '))) AS total_tokens,
+       sum(list_sum(list_transform(string_split(text, ' '),
+                                   t -> CAST(ceil(length(t) / 4.0) AS BIGINT)))) AS total_subtokens
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Per-document quality features: length, mean word length (basis
+    points), stopword ratio (basis points), and a composite score — the
+    cheap filters a pretraining pipeline runs before anything expensive.
+
+    Ratios are reported in integer basis points (×10000, rounded): a ratio
+    k/n never sits closer than 1/(2n) to a rounding boundary unless exactly
+    on it, so the values are engine-independent — no float-rounding drift
+    between distributed partial aggregation orders or SQL dialects.
+    """
+    w = documents.select(
+        "doc_id",
+        F.length("text").alias("n_chars_m"),
+        F.split(F.col("text"), " ").alias("w"),
+    )
+    feats = w.select(
+        "doc_id",
+        "n_chars_m",
+        F.size("w").alias("n_words"),
+        F.round(
+            F.expr("10000.0 * aggregate(w, 0L, (acc, t) -> acc + length(t)) / size(w)")
+        )
+        .cast("long")
+        .alias("mean_word_len_bp"),
+        F.round(
+            F.expr(
+                f"10000.0 * size(filter(w, t -> array_contains(array{tuple(EN_STOPWORDS)}, t))) / size(w)"
+            )
+        )
+        .cast("long")
+        .alias("stopword_bp"),
+    )
+    # quality in half-basis-points: integer arithmetic end-to-end
+    return feats.withColumn(
+        "quality_hbp",
+        F.least(F.col("n_words") * 100, F.lit(10000)).cast("long")
+        + F.col("stopword_bp"),
+    ).orderBy("doc_id")
+
+
+def quality_scores_oracle_sql() -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id, length(text) AS n_chars_m, string_split(text, ' ') AS w FROM documents
+), feats AS (
+  SELECT doc_id, n_chars_m, len(w) AS n_words,
+         CAST(round(10000.0 * list_sum(list_transform(w, t -> length(t))) / len(w))
+              AS BIGINT) AS mean_word_len_bp,
+         CAST(round(10000.0 * len(list_filter(w, t -> list_contains({_STOP_SQL}, t))) / len(w))
+              AS BIGINT) AS stopword_bp
+  FROM w
+)
+SELECT doc_id, n_chars_m, n_words, mean_word_len_bp, stopword_bp,
+       CAST(least(n_words * 100, 10000) AS BIGINT) + stopword_bp AS quality_hbp
+FROM feats ORDER BY doc_id
+"""
+
+
+def langid(documents: DataFrame) -> DataFrame:
+    """Stopword-hit language heuristic: docs whose stopword ratio ≥ 5%
+    classify as 'en', else 'unk'; aggregate per source × prediction."""
+    pred = documents.select(
+        "source",
+        F.split(F.col("text"), " ").alias("w"),
+    ).select(
+        "source",
+        F.when(
+            F.expr(
+                f"size(filter(w, t -> array_contains(array{tuple(EN_STOPWORDS)}, t))) / size(w)"
+            )
+            >= 0.05,
+            F.lit("en"),
+        )
+        .otherwise(F.lit("unk"))
+        .alias("pred_lang"),
+    )
+    return (
+        pred.groupBy("source", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("source", "pred_lang")
+    )
+
+
+def langid_oracle_sql() -> str:
+    return f"""
+WITH pred AS (
+  SELECT source,
+         CASE WHEN len(list_filter(string_split(text, ' '),
+                                   t -> list_contains({_STOP_SQL}, t))) * 1.0
+                   / len(string_split(text, ' ')) >= 0.05
+              THEN 'en' ELSE 'unk' END AS pred_lang
+  FROM documents
+)
+SELECT source, pred_lang, count(*) AS n_docs
+FROM pred GROUP BY source, pred_lang ORDER BY source, pred_lang
+"""
+
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    """Deterministic content fingerprint: md5 of lowercased,
+    whitespace-collapsed text; used as the exact-dedup key and the
+    lineage-stable doc identity."""
+    fp = documents.select(
+        "source",
+        F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias("fingerprint"),
+    )
+    return (
+        fp.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fingerprint").alias("n_distinct"),
+        )
+        .orderBy("source")
+    )
+
+
+def fingerprints_oracle_sql() -> str:
+    return r"""
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS n_distinct
+FROM documents GROUP BY source ORDER BY source
+"""

@@ -1,0 +1,38 @@
+"""Corpus synthesis tests: determinism, codec round-trip, skew shape."""
+
+from go_readability_spark.codec.spans import html_to_spans, spans_to_html
+from go_readability_spark.spark.corpus import synth_html, synthesize_documents
+
+
+def test_synth_html_deterministic():
+    a = synth_html(42, "alpha beta gamma delta", "en", "src1")
+    b = synth_html(42, "alpha beta gamma delta", "en", "src1")
+    assert a == b
+    assert synth_html(43, "alpha beta gamma delta", "en", "src1") != a
+
+
+def test_synth_html_roundtrips_through_codec():
+    html = synth_html(7, "one two three four five six seven eight nine ten " * 30, "en", "s")
+    spans = html_to_spans(html)
+    assert spans_to_html(spans) == html
+    kinds = {s.kind for s in spans}
+    assert "img" in kinds and "markup" in kinds
+
+
+def test_mega_doc_skew_exists():
+    base = synth_html(1, "word " * 200, "en", "s")
+    mega = synth_html(499, "word " * 200, "en", "s")
+    assert len(mega) > 5 * len(base)
+
+
+def test_synthesize_documents_spark(spark):
+    docs = synthesize_documents(spark, "/root/testdata/sf0.001")
+    sample = docs.limit(3).collect()
+    assert all(r.doc_id.startswith("doc-") for r in sample)
+    # offsets strictly ordered; reassembly yields the article page
+    for r in sample:
+        assert len(r.spans) >= 1
+        offs = [s.offset for s in r.spans]
+        assert offs == sorted(offs) and len(set(offs)) == len(offs)
+        html = "".join(s.text for s in r.spans)
+        assert "<article>" in html and "</html>" in html

@@ -1,0 +1,117 @@
+"""Textops + relational-shell oracle tests: every queries() entry with an
+oracle must match DuckDB value-for-value at sf0.001 (the driver runs the
+same comparison at sf0.01 — tools/check_oracles.py mirrors it)."""
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _normalize(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                v = "nan" if math.isnan(v) else f"{v:.10g}"
+            elif hasattr(v, "isoformat"):
+                v = v.isoformat()
+            elif isinstance(v, (list, tuple)):
+                v = str(list(v))
+            else:
+                v = str(v)
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort()
+    return out
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(path):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    yield con
+    con.close()
+
+
+def _entry():
+    import __spark_entry__ as e
+
+    return e
+
+
+ORACLE_QUERIES = sorted(_entry().oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, duck, name):
+    e = _entry()
+    sdf = e.queries()[name](spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    res = duck.sql(e.oracle_sql()[name])
+    drows = res.fetchall()
+    dcols = [d[0] for d in res.description]
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert _normalize(srows, sdf.columns) == _normalize(drows, dcols)
+
+
+def test_every_oracle_key_has_query():
+    e = _entry()
+    q = e.queries()
+    for name in e.oracle_sql():
+        assert name in q
+
+
+def test_multimodal_plumbing(spark):
+    """decode path: media table with binary payloads → feature rows."""
+    from go_readability_spark.textops.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media_features,
+        media_from_articles,
+    )
+    from go_readability_spark.spark.corpus import fixture_documents
+    from go_readability_spark.spark.extract import extract_articles
+
+    arts = extract_articles(
+        fixture_documents(spark).filter("doc_id = 'keep-images'")
+    )
+    media = media_from_articles(arts)
+    mrows = media.collect()
+    assert mrows and all(r.kind in ("img", "video", "audio", "source", "embed", "iframe") for r in mrows)
+
+    payloads = spark.createDataFrame(
+        [
+            {
+                "media_id": r.media_id,
+                "doc_id": r.doc_id,
+                "kind": r.kind,
+                "media_ref": r.media_ref,
+                "payload": (r.media_ref or "x").encode(),
+                "content_type": "image/jpeg",
+            }
+            for r in mrows
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+    feats = decode_media_features(payloads).collect()
+    assert len(feats) == len(mrows)
+    for f in feats:
+        assert f.n_bytes > 0 and len(f.payload_sha1) == 40
+        assert f.feature is not None and len(f.feature) == 8
+        if f.kind == "img":
+            assert f.width and f.height
