@@ -37,8 +37,16 @@ _STOP_EVERY_WORDS = 13  # sentence length in words
 _SENTS_PER_PARA = 4
 
 
-def fixture_documents(spark: SparkSession, root: str = FIXTURES_DIR) -> DataFrame:
-    """119 golden fixtures as one small documents DataFrame."""
+def fixture_documents(
+    spark: SparkSession, root: str = FIXTURES_DIR, replicate: int = 1
+) -> DataFrame:
+    """119 golden fixtures as a documents DataFrame.
+
+    ``replicate`` fans each fixture out K× with unique doc_ids
+    (JVM-side crossJoin — span payloads are not re-encoded in Python):
+    the real-page-scale corpus for throughput/scaling benchmarks, with the
+    corpus's natural 1 KB–500 KB size skew.
+    """
     rows = []
     for name in sorted(os.listdir(root)):
         src = os.path.join(root, name, "source.html")
@@ -53,7 +61,18 @@ def fixture_documents(spark: SparkSession, root: str = FIXTURES_DIR) -> DataFram
                 "spans": [s.as_row() for s in html_to_spans(html)],
             }
         )
-    return spark.createDataFrame(rows, schema=DOCUMENTS_SCHEMA)
+    df = spark.createDataFrame(rows, schema=DOCUMENTS_SCHEMA)
+    if replicate > 1:
+        import pyspark.sql.functions as F
+
+        df = (
+            df.crossJoin(spark.range(replicate).select(F.col("id").alias("rep")))
+            .withColumn(
+                "doc_id", F.concat_ws("-", "doc_id", F.format_string("r%03d", "rep"))
+            )
+            .drop("rep")
+        )
+    return df
 
 
 def synth_html(doc_id: int, text: str, lang: str, source: str) -> str:
@@ -121,12 +140,15 @@ def synth_html(doc_id: int, text: str, lang: str, source: str) -> str:
 def _synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = []
+        has_rep = "rep" in pdf.columns
         for row in pdf.itertuples(index=False):
             doc_id = int(row.doc_id)
+            rep = int(row.rep) if has_rep else 0
             html = synth_html(doc_id, row.text or "", row.lang or "en", row.source or "src")
+            uid = f"doc-{doc_id:09d}" + (f"-r{rep:03d}" if rep else "")
             out.append(
                 {
-                    "doc_id": f"doc-{doc_id:09d}",
+                    "doc_id": uid,
                     "uri": f"http://synth.example/{row.source}/{doc_id}.html",
                     "spans": [s.as_row() for s in html_to_spans(html)],
                 }
@@ -134,13 +156,23 @@ def _synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out, columns=["doc_id", "uri", "spans"])
 
 
-def synthesize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def synthesize_documents(
+    spark: SparkSession, sf_dir: str, replicate: int = 1
+) -> DataFrame:
     """documents.parquet(text corpus) → interleaved-span documents table.
 
     Distributed: the page builder runs in ``mapInPandas`` over the scaled
     text table, so the span corpus is generated where it is consumed.
+    ``replicate`` fans each source row out K× (unique doc_ids, identical
+    page content) — the bench knob for compute-dominated scaling runs.
     """
+    import pyspark.sql.functions as F
+
     src = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
         "doc_id", "text", "lang", "source"
     )
+    if replicate > 1:
+        src = src.withColumn(
+            "rep", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1)))
+        ).repartition(max(32, replicate))
     return src.mapInPandas(_synth_batches, schema=DOCUMENTS_SCHEMA)

@@ -36,7 +36,10 @@ def build_session(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_MAX_RECORDS))
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # extraction at high parallelism is allocation-heavy (arrow buffers
+        # per concurrent task); a larger heap measurably reduces GC stalls
+        # (local[16]: 2637 -> 2954 docs/s from 8g -> 24g alone)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -82,7 +82,7 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = JACCARD_THRESHO
         )
         .filter(F.size("w") >= SHINGLE_K)
         .select("doc_id", "lang", "len_bucket", F.expr(_shingles_col()).alias("sh"))
-    )
+    ).persist()  # shingling feeds both sides of the block self-join
     a, b = sh.alias("a"), sh.alias("b")
     pairs = a.join(
         b,
@@ -162,6 +162,9 @@ def lsh_candidate_pairs(documents: DataFrame) -> DataFrame:
             args=", ".join(f"{b}, band{b}" for b in range(LSH_BANDS)),
         ),
     )
+    # persist: the self-join otherwise recomputes the md5 signature subtree
+    # on both sides (2× the dominant map cost at scale)
+    stacked = stacked.persist()
     a, b = stacked.alias("a"), stacked.alias("b")
     return (
         a.join(
