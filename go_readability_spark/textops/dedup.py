@@ -67,11 +67,17 @@ def _shingles_duck() -> str:
 
 
 def ngram_jaccard_pairs(documents: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
-    """Near-dup pairs by word-{K}-shingle Jaccard similarity.
+    """Near-dup pairs by word-{K}-shingle Jaccard similarity, via the
+    inverted-index (posting-list) join — the shape that scales.
 
-    Candidate generation: block on (lang, length(text) DIV 64) so only
-    same-language, similar-length docs pair up — at scale the block join
-    shuffles on the block key instead of crossing the corpus.
+    Instead of materializing candidate pairs and intersecting shingle sets
+    per pair (O(pairs × set-op), the naive design), explode each document's
+    distinct shingles and equi-join postings on the shingle itself: only
+    pairs that actually share a shingle ever materialize, the shuffle key
+    (shingle) is high-cardinality and uniform, and the intersection size
+    falls out of a count per (doc_a, doc_b).  |union| = |A| + |B| − |A∩B|.
+    Blocking on (lang, length-bucket) and the exact size-ratio bound
+    (J ≥ 0.8 ⇒ 5·|A| ≥ 4·|B|) prune further, all in the join condition.
     """
     sh = (
         documents.select(
@@ -82,42 +88,92 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = JACCARD_THRESHO
         )
         .filter(F.size("w") >= SHINGLE_K)
         .select("doc_id", "lang", "len_bucket", F.expr(_shingles_col()).alias("sh"))
-    ).persist()  # shingling feeds both sides of the block self-join
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.len_bucket") == F.col("b.len_bucket"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+        .withColumn("n_sh", F.size("sh"))
+        .persist()
     )
-    jac = pairs.select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.round(
-            F.size(F.array_intersect("a.sh", "b.sh"))
-            / F.size(F.array_union("a.sh", "b.sh")),
-            4,
-        ).alias("jaccard"),
+    postings = sh.select(
+        "doc_id", "lang", "len_bucket", "n_sh", F.explode("sh").alias("s")
     )
-    return jac.filter(F.col("jaccard") >= threshold).orderBy("doc_a", "doc_b")
+    # Prefix filter (AllPairs/PPJoin): rank each doc's shingles globally
+    # rarest-first; J(A,B) ≥ t pairs MUST share a shingle within the first
+    # |A| − ⌈t·|A|⌉ + 1 of A's ranked shingles (t = 4/5 → integer-exact
+    # ⌈4n/5⌉ = (4n+4) div 5).  Common "stop shingles" land outside the
+    # prefix, so the posting join never explodes on them.
+    freq = postings.groupBy("s").agg(F.count("*").alias("freq"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.asc("freq"), F.asc("s"))
+    ranked = postings.join(freq, "s").withColumn("rk", F.row_number().over(w))
+    prefix = ranked.filter(
+        F.col("rk") <= F.col("n_sh") - F.expr("(4 * n_sh + 4) div 5") + 1
+    ).select("doc_id", "lang", "len_bucket", "n_sh", "s")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n_sh") * 5 >= F.col("b.n_sh") * 4)
+            & (F.col("b.n_sh") * 5 >= F.col("a.n_sh") * 4),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verification only on surviving candidates (few)
+    verified = (
+        candidates.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("sha", "shb"))
+                / F.size(F.array_union("sha", "shb")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= threshold).orderBy("doc_a", "doc_b")
 
 
 def ngram_jaccard_pairs_oracle_sql(threshold: float = JACCARD_THRESHOLD) -> str:
     return f"""
-WITH sh AS (
+WITH sh0 AS (
   SELECT doc_id, lang, CAST(floor(length(text) / 64.0) AS INT) AS len_bucket,
          {_shingles_duck().replace('w', "string_split(text, ' ')")} AS sh
   FROM documents
   WHERE len(string_split(text, ' ')) >= {SHINGLE_K}
+), shn AS (
+  SELECT *, len(sh) AS n_sh FROM sh0
+), postings AS (
+  SELECT doc_id, lang, len_bucket, n_sh, unnest(sh) AS s FROM shn
+), freq AS (
+  SELECT s, count(*) AS freq FROM postings GROUP BY s
+), ranked AS (
+  SELECT p.*, row_number() OVER (PARTITION BY p.doc_id
+                                 ORDER BY f.freq ASC, p.s ASC) AS rk
+  FROM postings p JOIN freq f USING (s)
+), prefix AS (
+  SELECT doc_id, lang, len_bucket, n_sh, s FROM ranked
+  WHERE rk <= n_sh - ((4 * n_sh + 4) // 5) + 1
+), candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM prefix a JOIN prefix b
+    ON a.s = b.s AND a.lang = b.lang AND a.len_bucket = b.len_bucket
+   AND a.doc_id < b.doc_id
+   AND a.n_sh * 5 >= b.n_sh * 4 AND b.n_sh * 5 >= a.n_sh * 4
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(round(CAST(len(list_intersect(a.sh, b.sh)) * 1.0
-             / len(list_distinct(list_concat(a.sh, b.sh))) AS DECIMAL(18,8)), 4)
+SELECT c.doc_a, c.doc_b,
+       CAST(round(CAST(len(list_intersect(x.sh, y.sh)) * 1.0
+             / len(list_distinct(list_concat(x.sh, y.sh))) AS DECIMAL(18,8)), 4)
             AS DOUBLE) AS jaccard
-FROM sh a JOIN sh b
-  ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-WHERE CAST(round(CAST(len(list_intersect(a.sh, b.sh)) * 1.0
-            / len(list_distinct(list_concat(a.sh, b.sh))) AS DECIMAL(18,8)), 4)
+FROM candidates c
+JOIN shn x ON x.doc_id = c.doc_a
+JOIN shn y ON y.doc_id = c.doc_b
+WHERE CAST(round(CAST(len(list_intersect(x.sh, y.sh)) * 1.0
+            / len(list_distinct(list_concat(x.sh, y.sh))) AS DECIMAL(18,8)), 4)
            AS DOUBLE) >= {threshold}
 ORDER BY doc_a, doc_b
 """

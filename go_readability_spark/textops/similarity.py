@@ -94,6 +94,48 @@ FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 """
 
 
+# testdata embeddings are well-spread (max pairwise cosine ≈ 0.51); 0.42
+# yields a meaningful near-dup candidate set at every sf
+NEAR_DUP_THRESHOLD = 0.42
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = NEAR_DUP_THRESHOLD
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a, b) with cosine ≥ τ,
+    blocked on the sign-bit LSH bucket so the pair space is pruned ~2^bits
+    before any dot product (the classic scale move for O(n²) similarity).
+    """
+    bucketed = embeddings.withColumn("bucket", F.expr(_bucket_expr_spark()))
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("qe"), "bucket"
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("ce"), "bucket"
+    )
+    pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    return (
+        _with_cosine(pairs)
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def embedding_near_dup_pairs_oracle_sql(threshold: float = NEAR_DUP_THRESHOLD) -> str:
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, {{bucket}} AS bucket FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+         {_duck_cos('a.embedding', 'b2.embedding')} AS cosine
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM pairs
+WHERE cosine >= {threshold} ORDER BY vec_a, vec_b
+""".format(bucket=_bucket_expr_duck("embedding"))
+
+
 def _bucket_expr_spark() -> str:
     terms = " + ".join(
         f"(CASE WHEN cast(element_at(embedding, {i + 1}) as double) >= 0 THEN {1 << i} ELSE 0 END)"

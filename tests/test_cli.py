@@ -1,0 +1,42 @@
+"""CLI parity tests (reference: cmd/readability/readability.go:30-64)."""
+
+import json
+import subprocess
+import sys
+
+FIXTURE = "/root/reference/testdata/test-pages/001/source.html"
+
+
+def run_cli(*args):
+    return subprocess.run(
+        [sys.executable, "-m", "go_readability_spark.cli", *args],
+        capture_output=True, text=True, timeout=120,
+    )
+
+
+def test_cli_html_output():
+    r = run_cli(FIXTURE, "-u", "http://fakehost/test/page.html", "-o", "html")
+    assert r.returncode == 0
+    assert "<p>" in r.stdout
+
+
+def test_cli_text_output():
+    r = run_cli(FIXTURE, "-u", "http://fakehost/test/page.html", "-o", "text")
+    assert r.returncode == 0
+    assert "JavaScript" in r.stdout and "<p>" not in r.stdout
+
+
+def test_cli_json_output():
+    r = run_cli(FIXTURE, "-u", "http://fakehost/test/page.html", "-o", "json")
+    assert r.returncode == 0
+    data = json.loads(r.stdout)
+    assert data["title"] == "Get your Frontend JavaScript Code Covered | Code"
+    assert data["status"] == "ok" and data["length"] > 1000
+    assert data["spans"] and all("kind" in s for s in data["spans"])
+
+
+def test_cli_readerable_gate(tmp_path):
+    p = tmp_path / "tiny.html"
+    p.write_text("<html><body><p>hi</p></body></html>")
+    r = run_cli(str(p), "--check-readerable")
+    assert r.returncode == 2
