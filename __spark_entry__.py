@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # correctness gated by the 119-fixture golden suite under pytest)
         "extract_articles": _extract_articles_query,
         "extract_media_stats": _extract_media_stats_query,
+        "extract_then_dedup": _extract_then_dedup_query,
     }
     return q
 
@@ -91,6 +92,32 @@ def _extract_media_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_readability_spark.textops.multimodal import media_ref_stats
 
     return media_ref_stats(route_and_extract(synthesize_documents(spark, sf_dir)))
+
+
+def _extract_then_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline slice: extract article text from
+    the span corpus, then exact-dedup on the extracted content — the
+    extraction output feeding the dedup stage, as the 100 TB pipeline
+    would chain them."""
+    from pyspark.sql import functions as F
+
+    from go_readability_spark.spark.corpus import synthesize_documents
+    from go_readability_spark.spark.extract import route_and_extract
+
+    articles = route_and_extract(synthesize_documents(spark, sf_dir))
+    fp = articles.filter(F.col("status") == "ok").select(
+        "doc_id", F.md5(F.regexp_replace(F.lower("text_content"), r"\s+", " ")).alias("fp")
+    )
+    return (
+        fp.groupBy("fp")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("canonical"))
+        .groupBy()
+        .agg(
+            F.count("*").alias("n_distinct_articles"),
+            F.sum("n_copies").alias("n_articles"),
+            F.sum((F.col("n_copies") > 1).cast("long")).alias("n_dup_groups"),
+        )
+    )
 
 
 def oracle_sql() -> dict[str, str]:
