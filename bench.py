@@ -8,6 +8,9 @@ Env:
   SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS    local[] parallelism (default 32)
   BENCH_QUERIES       comma-list to restrict (default: all)
+  BENCH_REPLICATE     headline-corpus fan-out (default 8: sf0.1 → 40k docs,
+                      enough compute that the headline measures the engine,
+                      not job startup)
 
 The headline is the flagship extraction pipeline: synthesize the
 interleaved-span corpus (mapInPandas page builder) → salted repartition →
@@ -42,15 +45,17 @@ def main() -> None:
     # --- headline: extraction throughput ------------------------------
     # Materialize the span corpus first (parquet) so the timed section
     # measures extraction, not synthesis.
+    replicate = int(os.environ.get("BENCH_REPLICATE", "8"))
     corpus_path = os.path.join(
-        os.environ.get("BENCH_TMP", "/tmp"), f"bench_corpus_{os.path.basename(sf_dir)}"
+        os.environ.get("BENCH_TMP", "/tmp"),
+        f"bench_corpus_{os.path.basename(sf_dir)}_x{replicate}",
     )
     if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
         # pre-bucketed at write time (the Iceberg bucket(B, doc_id) layout):
         # extraction then reads in place, zero shuffle
-        synthesize_documents(spark, sf_dir).repartition(64, "doc_id").write.mode(
-            "overwrite"
-        ).parquet(corpus_path)
+        synthesize_documents(spark, sf_dir, replicate=replicate).repartition(
+            128, "doc_id"
+        ).write.mode("overwrite").parquet(corpus_path)
     docs = spark.read.parquet(corpus_path)
     n_docs = docs.count()
     # warm python workers (steady-state throughput, not import cost)

@@ -39,6 +39,11 @@ from .regexps import ENTITY_REFERENCES, HTML_CHAR_CODES
 
 ELEMENT_NODE = 1
 TEXT_NODE = 3
+
+# Global tree-mutation epoch: monotonically increasing, bumped by every
+# structural/text mutator; element subtree-text memos are valid only for
+# the epoch they were computed in.  Never reused, so staleness is impossible.
+_TREE_EPOCH = [0]
 CDATA_SECTION_NODE = 4
 COMMENT_NODE = 8
 DOCUMENT_NODE = 9
@@ -117,6 +122,8 @@ class Node:
         "document_element",
         "content_score",
         "data_table",
+        "_tc_epoch",
+        "_tc_cache",
     )
 
     def __init__(self, node_type: int, node_name: str = "") -> None:
@@ -143,6 +150,9 @@ class Node:
         # Algorithm annotations (domparser.go:385-391): None == uninitialized.
         self.content_score: float | None = None
         self.data_table: bool | None = None
+        # Subtree-text memo, valid only while _TREE_EPOCH is unchanged.
+        self._tc_epoch: int = -1
+        self._tc_cache: str = ""
 
     def __repr__(self) -> str:  # debugging aid only
         if self.node_type == TEXT_NODE:
@@ -161,8 +171,11 @@ class Node:
         return self.children[0] if self.children else None
 
     # -- mutation (mirrors domparser.go:421-583) -----------------------------
+    # Every mutator bumps _TREE_EPOCH, invalidating all subtree-text memos
+    # at once (epochs are never reused, so stale caches can't resurrect).
 
     def append_child(self, child: Node) -> None:
+        _TREE_EPOCH[0] += 1
         if child.parent_node is not None:
             child.parent_node.remove_child(child)
 
@@ -182,6 +195,7 @@ class Node:
         child.parent_node = self
 
     def remove_child(self, child: Node) -> Node:
+        _TREE_EPOCH[0] += 1
         idx = _index_of(child, self.child_nodes)
         if idx == -1:
             raise ValueError("remove_child: node not found")
@@ -206,6 +220,7 @@ class Node:
         return child
 
     def replace_child(self, new_node: Node, old_node: Node) -> Node:
+        _TREE_EPOCH[0] += 1
         child_nodes = self.child_nodes
         idx = _index_of(old_node, child_nodes)
         if idx == -1:
@@ -324,17 +339,36 @@ class Node:
         all_tags = tag == "*"
         tag_up = tag.upper()
         out: list[Node] = []
-        stack = [iter(self.children)]
+        stack = self.children[::-1]
         while stack:
-            it = stack[-1]
-            child = next(it, None)
-            if child is None:
-                stack.pop()
-                continue
+            child = stack.pop()
             if all_tags or child.tag_name == tag_up:
                 out.append(child)
             if child.children:
-                stack.append(iter(child.children))
+                stack += child.children[::-1]
+        return out
+
+    def get_elements_by_tag_names(self, tags: tuple[str, ...]) -> list[Node]:
+        """Multi-tag query in ONE pre-order walk, preserving the reference's
+        per-tag grouping (all of tags[0] in document order, then all of
+        tags[1], ...) exactly as repeated get_elements_by_tag_name calls
+        would return (readability.go:221-227)."""
+        buckets: dict[str, list[Node]] = {}
+        order: list[list[Node]] = []
+        for t in tags:
+            b = buckets.setdefault(t.upper(), [])
+            order.append(b)
+        stack = self.children[::-1]
+        while stack:
+            child = stack.pop()
+            b = buckets.get(child.tag_name)
+            if b is not None:
+                b.append(child)
+            if child.children:
+                stack += child.children[::-1]
+        out: list[Node] = []
+        for b in order:
+            out.extend(b)
         return out
 
     def get_element_by_id(self, id_: str) -> Node | None:
@@ -356,6 +390,12 @@ class Node:
                 self._text_content = decode_html(self._inner_html or "")
             return self._text_content
         if self.node_type == ELEMENT_NODE:
+            # Memoized per tree epoch: the scoring loop (link/text density,
+            # cleanConditionally) re-reads the same subtrees many times
+            # between mutations; any mutation bumps _TREE_EPOCH.
+            epoch = _TREE_EPOCH[0]
+            if self._tc_epoch == epoch:
+                return self._tc_cache
             parts: list[str] = []
             stack = [iter(self.child_nodes)]
             while stack:
@@ -365,13 +405,23 @@ class Node:
                     stack.pop()
                     continue
                 if child.node_type == TEXT_NODE:
-                    parts.append(child.get_text_content())
+                    tc = child._text_content
+                    if tc is None:
+                        tc = child._text_content = decode_html(child._inner_html or "")
+                    parts.append(tc)
                 elif child.child_nodes:
+                    if child._tc_epoch == epoch:
+                        parts.append(child._tc_cache)
+                        continue
                     stack.append(iter(child.child_nodes))
-            return "".join(parts)
+            text = "".join(parts)
+            self._tc_epoch = epoch
+            self._tc_cache = text
+            return text
         return self._text_content or ""
 
     def set_text_content(self, text: str) -> None:
+        _TREE_EPOCH[0] += 1
         if self.node_type == TEXT_NODE:
             self._text_content = text
             self._inner_html = None
@@ -418,6 +468,7 @@ class Node:
         return "".join(out)
 
     def set_inner_html(self, html: str) -> None:
+        _TREE_EPOCH[0] += 1
         if self.node_type == TEXT_NODE:
             self._inner_html = html
             self._text_content = None

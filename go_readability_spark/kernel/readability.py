@@ -171,10 +171,10 @@ class Readability:
         return n
 
     def _get_all_nodes_with_tag(self, n: Node, *tags: str) -> list[Node]:
-        nodes: list[Node] = []
-        for tag in tags:
-            nodes.extend(n.get_elements_by_tag_name(tag))
-        return nodes
+        if len(tags) == 1:
+            return n.get_elements_by_tag_name(tags[0])
+        # one walk, per-tag grouping preserved (see get_elements_by_tag_names)
+        return n.get_elements_by_tag_names(tags)
 
     @staticmethod
     def _some_node(nodes: list[Node], fn) -> bool:
