@@ -58,7 +58,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": lambda spark, sf: D.exact_duplicates(_docs(spark, sf)),
         "dedup_ngram_jaccard": lambda spark, sf: D.ngram_jaccard_pairs(_docs(spark, sf)),
         "dedup_minhash_lsh": lambda spark, sf: D.lsh_candidate_pairs(_docs(spark, sf)),
+        "dedup_minhash_signatures": lambda spark, sf: D.minhash_signatures(_docs(spark, sf)).orderBy("doc_id"),
         "dedup_simhash": lambda spark, sf: D.simhash_fingerprints(_docs(spark, sf)),
+        "text_rolling_fingerprint": lambda spark, sf: D.rolling_fingerprints(_docs(spark, sf)),
         # similarity search
         "similarity_cosine_topk": lambda spark, sf: S.cosine_topk(_emb(spark, sf)),
         "similarity_lsh_topk": lambda spark, sf: S.lsh_bucketed_topk(_emb(spark, sf)),
@@ -135,7 +137,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": D.exact_duplicates_oracle_sql(),
         "dedup_ngram_jaccard": D.ngram_jaccard_pairs_oracle_sql(),
         "dedup_minhash_lsh": D.lsh_candidate_pairs_oracle_sql(),
+        "dedup_minhash_signatures": D.minhash_signatures_oracle_sql(),
         "dedup_simhash": D.simhash_fingerprints_oracle_sql(),
+        "text_rolling_fingerprint": D.rolling_fingerprints_oracle_sql(),
         "similarity_cosine_topk": S.cosine_topk_oracle_sql(),
         "similarity_lsh_topk": S.lsh_bucketed_topk_oracle_sql(),
         "dedup_embedding_cosine": S.embedding_near_dup_pairs_oracle_sql(),

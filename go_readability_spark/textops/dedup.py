@@ -197,6 +197,76 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
     return sh.selectExpr("doc_id", *_minhash_exprs())
 
 
+def minhash_signatures_oracle_sql() -> str:
+    mh = ",\n       ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS mh{i}"
+        for i in range(MINHASH_N)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_shingles_duck().replace('w', "string_split(text, ' ')")} AS sh
+  FROM documents WHERE len(string_split(text, ' ')) >= {SHINGLE_K}
+)
+SELECT doc_id,
+       {mh}
+FROM sh ORDER BY doc_id
+"""
+
+
+ROLLING_BASE = 131
+ROLLING_MOD = 1_000_000_007
+
+
+def rolling_fingerprints(documents: DataFrame) -> DataFrame:
+    """Polynomial rolling-hash fingerprint over word tokens:
+    ``h = Σ h·B + hash(word) (mod M)`` — order-sensitive (unlike the md5
+    content fingerprint), so reordered copies get distinct prints.  Word
+    hash is the md5-hex prefix (engine-identical); the fold is sequential
+    with a mod at every step, so no overflow and bit-identical results."""
+    hashed = documents.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "transform(split(text, ' '), t -> cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint))"
+        ).alias("hs"),
+    )
+    fp = hashed.select(
+        "doc_id",
+        "source",
+        F.expr(
+            f"aggregate(hs, 0L, (acc, h) -> pmod(acc * {ROLLING_BASE} + h, {ROLLING_MOD}))"
+        ).alias("rolling_fp"),
+    )
+    return (
+        fp.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("rolling_fp").alias("n_distinct"),
+            F.min("rolling_fp").alias("min_fp"),
+        )
+        .orderBy("source")
+    )
+
+
+def rolling_fingerprints_oracle_sql() -> str:
+    return f"""
+WITH hashed AS (
+  SELECT doc_id, source,
+         list_transform(string_split(text, ' '),
+                        t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hs
+  FROM documents
+), fp AS (
+  SELECT doc_id, source,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+                     (acc, h) -> (acc * {ROLLING_BASE} + h) % {ROLLING_MOD}) AS rolling_fp
+  FROM hashed
+)
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT rolling_fp) AS n_distinct, min(rolling_fp) AS min_fp
+FROM fp GROUP BY source ORDER BY source
+"""
+
+
 def lsh_candidate_pairs(documents: DataFrame) -> DataFrame:
     """LSH band-bucket candidate pairs: docs sharing ≥1 band signature.
 
