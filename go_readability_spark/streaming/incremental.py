@@ -9,8 +9,9 @@ documents(doc_id, spans[, uri]) → the same ``extract_articles`` operator via
 Why foreachBatch rather than a streaming mapInPandas: the extraction kernel
 is stateless per document, so each micro-batch is just a bounded batch job —
 foreachBatch reuses the exact batch operator (identical semantics, one code
-path) and gets exactly-once via the sink's idempotent write + the stream's
-checkpointed offsets.
+path) and gets exactly-once from checkpointed offsets + a per-batch
+dynamic-partition-overwrite sink (a retried batch replaces its own
+``batch_id=`` partition; plain append would duplicate on retry).
 """
 
 from __future__ import annotations
@@ -51,9 +52,13 @@ def start_incremental_extraction(
     stream = read_document_stream(spark, input_path)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Idempotent per micro-batch: results land in a batch_id= partition
+        # via dynamic partition overwrite, so a retried batch REPLACES its
+        # own partial output instead of appending duplicates — this plus
+        # the checkpointed offsets is what makes the sink exactly-once.
         extract_articles(batch_df, options).withColumn(
             "batch_id", F.lit(batch_id)
-        ).write.mode("append").parquet(output_path)
+        ).write.mode("overwrite").partitionBy("batch_id").parquet(output_path)
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)
