@@ -151,6 +151,7 @@ def route_and_extract(
     options: Options | None = None,
     mega_doc_bytes: int = 4_000_000,
     num_partitions: int | None = None,
+    mega_partitions: int = 256,
 ) -> DataFrame:
     """Size-routed extraction: mega-docs take a dedicated fine-grained pass.
 
@@ -171,7 +172,11 @@ def route_and_extract(
     mega = sized.filter(F.col("doc_bytes") > mega_doc_bytes).drop("doc_bytes")
     if num_partitions:
         small = salted_repartition(small, num_partitions)
-    mega = mega.repartition("doc_id")
+    # Arrow input batches are cut per partition, so worker memory for the
+    # mega branch = (megas co-resident in one partition) × doc size.  Hash
+    # megas across many partitions (empty tasks cost ~ms) so a batch almost
+    # always holds ONE mega-doc — emit_every bounds only the output side.
+    mega = mega.repartition(mega_partitions, F.col("doc_id"))
     return extract_articles(small, options).unionByName(
         extract_articles(mega, options, emit_every=1)
     )
