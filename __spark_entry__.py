@@ -59,6 +59,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": lambda spark, sf: D.ngram_jaccard_pairs(_docs(spark, sf)),
         "dedup_minhash_lsh": lambda spark, sf: D.lsh_candidate_pairs(_docs(spark, sf)),
         "dedup_minhash_signatures": lambda spark, sf: D.minhash_signatures(_docs(spark, sf)).orderBy("doc_id"),
+        # iterative connected-components: no single-SQL oracle → rows-only
+        "dedup_groups": lambda spark, sf: D.dedup_groups(_docs(spark, sf)),
         "dedup_simhash": lambda spark, sf: D.simhash_fingerprints(_docs(spark, sf)),
         "text_rolling_fingerprint": lambda spark, sf: D.rolling_fingerprints(_docs(spark, sf)),
         # similarity search

@@ -339,6 +339,59 @@ ORDER BY doc_a, doc_b
 """
 
 
+def dedup_groups(documents: DataFrame, max_iters: int = 10) -> DataFrame:
+    """Connected components over the LSH candidate-pair graph → one
+    canonical survivor per duplicate group (large-star label propagation).
+
+    Pairs alone don't dedup a corpus: transitive duplicates (A~B, B~C)
+    must collapse into ONE group even when A and C never pair directly.
+    Iteration: every doc adopts the min label among itself and its
+    neighbours; converges in O(graph diameter) rounds — near-dup clusters
+    are tiny and dense, so a handful of iterations suffices at any corpus
+    size.  Each round is one shuffle on doc_id; the frontier (docs in any
+    pair) is a vanishing fraction of the corpus at 10^12 scale.
+
+    Returns (doc_id, canonical_doc_id) for every doc in a duplicate group.
+    Iterative ⇒ no single-SQL oracle (driver records rows-only); the
+    pair-generation stage is oracle-checked separately (dedup_minhash_lsh).
+    """
+    pairs = lsh_candidate_pairs(documents).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.persist()
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id", F.col("label").alias("canonical_doc_id")
+    ).orderBy("doc_id")
+
+
 def simhash_fingerprints(documents: DataFrame) -> DataFrame:
     """{SIMHASH_BITS}-bit SimHash over word tokens (hash = first 4 md5 hex
     chars → int); returns fingerprint + per-fingerprint collision counts."""

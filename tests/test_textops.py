@@ -115,3 +115,31 @@ def test_multimodal_plumbing(spark):
         assert f.feature is not None and len(f.feature) == 8
         if f.kind == "img":
             assert f.width and f.height
+
+
+def test_dedup_groups_matches_union_find(spark):
+    """Connected-components canonical assignment must equal an exact
+    union-find over the same LSH pair graph (transitive closure)."""
+    from go_readability_spark.textops.dedup import dedup_groups, lsh_candidate_pairs
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    pairs = [(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(docs).collect()]
+    assert pairs, "fixture corpus should contain LSH candidate pairs"
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {d: find(d) for d in {x for p in pairs for x in p}}
+
+    got = {r.doc_id: r.canonical_doc_id for r in dedup_groups(docs).collect()}
+    assert got == expected
