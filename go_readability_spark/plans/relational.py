@@ -54,7 +54,7 @@ def metrics_agg_oracle_sql() -> str:
     salt = _SALT_DUCK.format(m=N_BUCKETS)
     return f"""
 SELECT CAST({salt} AS INT) AS bucket_id,
-       count(*) AS n_docs, sum(n_chars) AS total_chars, max(n_chars) AS max_chars
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars, max(n_chars) AS max_chars
 FROM documents GROUP BY 1 ORDER BY bucket_id
 """
 
@@ -187,7 +187,7 @@ WITH scored AS (
   FROM documents
 )
 SELECT source, count(*) AS n_docs,
-       sum(CASE WHEN score > 20.0 THEN 1 ELSE 0 END) AS n_readerable
+       CAST(sum(CASE WHEN score > 20.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_readerable
 FROM scored GROUP BY source ORDER BY source
 """
 
@@ -367,7 +367,7 @@ WITH flagged AS (
   SELECT user_id, session_idx, count(*) AS n_events
   FROM sess GROUP BY user_id, session_idx
 )
-SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events,
        max(n_events) AS max_session_events
 FROM per_session GROUP BY user_id ORDER BY user_id
 """

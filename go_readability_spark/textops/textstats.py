@@ -44,9 +44,9 @@ def token_counts_oracle_sql() -> str:
     return """
 SELECT source,
        count(*) AS n_docs,
-       sum(len(string_split(text, ' '))) AS total_tokens,
-       sum(list_sum(list_transform(string_split(text, ' '),
-                                   t -> CAST(ceil(length(t) / 4.0) AS BIGINT)))) AS total_subtokens
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(sum(list_sum(list_transform(string_split(text, ' '),
+                                        t -> CAST(ceil(length(t) / 4.0) AS BIGINT)))) AS BIGINT) AS total_subtokens
 FROM documents
 GROUP BY source
 ORDER BY source
