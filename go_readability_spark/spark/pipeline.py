@@ -30,6 +30,17 @@ from .extract import route_and_extract, salted_repartition
 from .schema import LINEAGE_SCHEMA, METRICS_SCHEMA
 
 
+def _ensure_dynamic_overwrite(spark: SparkSession) -> None:
+    """Enforce dynamic partition-overwrite at the point of the destructive
+    write.  Under Spark's default *static* mode, ``mode('overwrite')
+    .partitionBy(...)`` truncates the ENTIRE output directory, so a
+    multi-wave run would silently keep only its last wave while lineage
+    marks every bucket done.  The invariant lives here, not in session
+    construction, so a spark-submit session built without the ``--conf``
+    is still safe."""
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+
 def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
     """Deterministic checkpoint bucket — same function the Iceberg partition
     transform would use, so partition pruning on resume is exact."""
@@ -94,6 +105,7 @@ def run_extraction(
     tests; never set in production.
     """
     t0 = time.time()
+    _ensure_dynamic_overwrite(spark)
     articles_path = os.path.join(out_root, "articles")
     metrics_path = os.path.join(out_root, "metrics")
     lineage_path = os.path.join(out_root, "lineage")

@@ -56,6 +56,11 @@ def start_incremental_extraction(
         # via dynamic partition overwrite, so a retried batch REPLACES its
         # own partial output instead of appending duplicates — this plus
         # the checkpointed offsets is what makes the sink exactly-once.
+        # Enforced here: under the default static mode this overwrite would
+        # truncate ALL earlier batches' partitions.
+        batch_df.sparkSession.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
         extract_articles(batch_df, options).withColumn(
             "batch_id", F.lit(batch_id)
         ).write.mode("overwrite").partitionBy("batch_id").parquet(output_path)

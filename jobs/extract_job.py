@@ -5,6 +5,7 @@ clusters):
 
     python tools/package.py                     # builds dist/go_readability_spark.zip
     spark-submit --py-files dist/go_readability_spark.zip \
+        --conf spark.sql.sources.partitionOverwriteMode=dynamic \
         jobs/extract_job.py \
         --input  <path or iceberg table of documents(doc_id, spans[, uri])> \
         --output <output root: articles/ metrics/ lineage/> \

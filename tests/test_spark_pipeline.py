@@ -74,6 +74,24 @@ def test_rerun_wave_is_idempotent(spark, docs, out_root):
     assert n1 == n2 == docs.count()
 
 
+def test_static_overwrite_session_is_safe(spark, docs, out_root):
+    """A session left on Spark's default *static* partitionOverwriteMode must
+    not lose earlier waves: run_extraction enforces dynamic mode itself at
+    the destructive write (the spark-submit path builds a plain session)."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "static")
+    try:
+        run_extraction(
+            spark, docs, out_root, "r5", n_buckets=N_BUCKETS, buckets_per_wave=2
+        )
+        arts = spark.read.parquet(f"{out_root}/articles")
+        assert arts.count() == docs.count()
+        assert arts.select("bucket_id").distinct().count() > 2
+    finally:
+        spark.conf.set(key, prev)
+
+
 def test_metrics_summary(spark, docs, out_root):
     run_extraction(spark, docs, out_root, "r4", n_buckets=4, buckets_per_wave=2)
     row = metrics_summary(spark, out_root, "r4").collect()[0]
