@@ -59,9 +59,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": lambda spark, sf: D.ngram_jaccard_pairs(_docs(spark, sf)),
         "dedup_minhash_lsh": lambda spark, sf: D.lsh_candidate_pairs(_docs(spark, sf)),
         "dedup_minhash_signatures": lambda spark, sf: D.minhash_signatures(_docs(spark, sf)).orderBy("doc_id"),
-        # iterative connected-components: no single-SQL oracle → rows-only
+        # iterative connected components (DuckDB twin: WITH RECURSIVE)
         "dedup_groups": lambda spark, sf: D.dedup_groups(_docs(spark, sf)),
         "dedup_simhash": lambda spark, sf: D.simhash_fingerprints(_docs(spark, sf)),
+        "dedup_simhash_hamming": lambda spark, sf: D.simhash_near_dup_pairs(_docs(spark, sf)),
         "text_rolling_fingerprint": lambda spark, sf: D.rolling_fingerprints(_docs(spark, sf)),
         # similarity search
         "similarity_cosine_topk": lambda spark, sf: S.cosine_topk(_emb(spark, sf)),
@@ -141,6 +142,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": D.lsh_candidate_pairs_oracle_sql(),
         "dedup_minhash_signatures": D.minhash_signatures_oracle_sql(),
         "dedup_simhash": D.simhash_fingerprints_oracle_sql(),
+        "dedup_simhash_hamming": D.simhash_near_dup_pairs_oracle_sql(),
+        "dedup_groups": D.dedup_groups_oracle_sql(),
         "text_rolling_fingerprint": D.rolling_fingerprints_oracle_sql(),
         "similarity_cosine_topk": S.cosine_topk_oracle_sql(),
         "similarity_lsh_topk": S.lsh_bucketed_topk_oracle_sql(),

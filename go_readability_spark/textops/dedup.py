@@ -19,7 +19,15 @@ from pyspark.sql import DataFrame, functions as F
 SHINGLE_K = 3          # words per shingle
 MINHASH_N = 8          # permutations (md5-salted)
 LSH_BANDS = 4          # bands of MINHASH_N / LSH_BANDS rows each
-SIMHASH_BITS = 16
+# 60-bit SimHash (15 md5 hex chars → fits signed BIGINT in both engines),
+# split into 4 Hamming bands of 15 bits: any pair within Hamming distance 3
+# agrees exactly on ≥1 band (pigeonhole), so the banded self-join finds all
+# near-dups without an O(n²) compare — the Manku/Jain/Sarma web-dedup shape.
+SIMHASH_BITS = 60
+SIMHASH_HEX_CHARS = SIMHASH_BITS // 4
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS   # 15
+SIMHASH_MAX_HAMMING = SIMHASH_BANDS - 1             # pigeonhole-complete
 JACCARD_THRESHOLD = 0.8
 
 
@@ -76,8 +84,10 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = JACCARD_THRESHO
     pairs that actually share a shingle ever materialize, the shuffle key
     (shingle) is high-cardinality and uniform, and the intersection size
     falls out of a count per (doc_a, doc_b).  |union| = |A| + |B| − |A∩B|.
-    Blocking on (lang, length-bucket) and the exact size-ratio bound
-    (J ≥ 0.8 ⇒ 5·|A| ≥ 4·|B|) prune further, all in the join condition.
+    Blocking on lang plus an *adjacent* length-bucket guard (|Δbucket| ≤ 1,
+    so near-identical docs straddling a 64-char boundary still pair) and
+    the exact size-ratio bound (J ≥ 0.8 ⇒ 5·|A| ≥ 4·|B|) prune further,
+    all in the join condition.
     """
     sh = (
         documents.select(
@@ -113,7 +123,9 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = JACCARD_THRESHO
             b,
             (F.col("a.s") == F.col("b.s"))
             & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            # adjacent buckets, not equality: exact-equality blocking drops
+            # genuine near-dups whose lengths straddle a 64-char boundary
+            & (F.abs(F.col("a.len_bucket") - F.col("b.len_bucket")) <= 1)
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.col("a.n_sh") * 5 >= F.col("b.n_sh") * 4)
             & (F.col("b.n_sh") * 5 >= F.col("a.n_sh") * 4),
@@ -161,7 +173,7 @@ WITH sh0 AS (
 ), candidates AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM prefix a JOIN prefix b
-    ON a.s = b.s AND a.lang = b.lang AND a.len_bucket = b.len_bucket
+    ON a.s = b.s AND a.lang = b.lang AND abs(a.len_bucket - b.len_bucket) <= 1
    AND a.doc_id < b.doc_id
    AND a.n_sh * 5 >= b.n_sh * 4 AND b.n_sh * 5 >= a.n_sh * 4
 )
@@ -308,7 +320,10 @@ def lsh_candidate_pairs(documents: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs_oracle_sql() -> str:
+def _lsh_pairs_cte_body() -> str:
+    """DuckDB CTE list ``sh, sig, banded, lsh_pairs`` reproducing
+    ``lsh_candidate_pairs`` — shared by the pair oracle and the
+    connected-components oracle."""
     rows_per_band = MINHASH_N // LSH_BANDS
     mh = ",\n         ".join(
         f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS mh{i}"
@@ -321,8 +336,7 @@ def lsh_candidate_pairs_oracle_sql() -> str:
         )
         bands.append(f"SELECT doc_id, {b} AS band_idx, md5({parts}) AS band_hash FROM sig")
     union = "\n  UNION ALL\n  ".join(bands)
-    return f"""
-WITH sh AS (
+    return f"""sh AS (
   SELECT doc_id, {_shingles_duck().replace('w', "string_split(text, ' ')")} AS sh
   FROM documents WHERE len(string_split(text, ' ')) >= {SHINGLE_K}
 ), sig AS (
@@ -331,17 +345,23 @@ WITH sh AS (
   FROM sh
 ), banded AS (
   {union}
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM banded a JOIN banded b
-  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-ORDER BY doc_a, doc_b
+), lsh_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)"""
+
+
+def lsh_candidate_pairs_oracle_sql() -> str:
+    return f"""
+WITH {_lsh_pairs_cte_body()}
+SELECT doc_a, doc_b FROM lsh_pairs ORDER BY doc_a, doc_b
 """
 
 
-def dedup_groups(documents: DataFrame, max_iters: int = 10) -> DataFrame:
+def dedup_groups(documents: DataFrame, max_iters: int = 20) -> DataFrame:
     """Connected components over the LSH candidate-pair graph → one
-    canonical survivor per duplicate group (large-star label propagation).
+    canonical survivor per duplicate group (min-label propagation).
 
     Pairs alone don't dedup a corpus: transitive duplicates (A~B, B~C)
     must collapse into ONE group even when A and C never pair directly.
@@ -351,9 +371,19 @@ def dedup_groups(documents: DataFrame, max_iters: int = 10) -> DataFrame:
     size.  Each round is one shuffle on doc_id; the frontier (docs in any
     pair) is a vanishing fraction of the corpus at 10^12 scale.
 
+    Iteration hygiene (the parts that matter on a long-lived cluster job):
+    each round's labels are ``localCheckpoint``-ed — lineage stays O(1)
+    deep instead of growing a re-planned DAG per round — and the round's
+    single action is the checkpoint itself; convergence is read from a
+    ``changed`` flag carried in the same frame (a cheap scan of the
+    just-materialized blocks, no second join).  Superseded checkpoint
+    blocks are freed by the ContextCleaner when the frame is dropped;
+    ``edges`` is explicitly unpersisted on exit.  Raises if the graph
+    diameter exceeds ``max_iters`` rather than silently returning
+    partially-merged groups.
+
     Returns (doc_id, canonical_doc_id) for every doc in a duplicate group.
-    Iterative ⇒ no single-SQL oracle (driver records rows-only); the
-    pair-generation stage is oracle-checked separately (dedup_minhash_lsh).
+    Oracle: DuckDB WITH RECURSIVE min-reachability (exact same semantics).
     """
     pairs = lsh_candidate_pairs(documents).select("doc_a", "doc_b")
     edges = pairs.unionByName(
@@ -363,77 +393,105 @@ def dedup_groups(documents: DataFrame, max_iters: int = 10) -> DataFrame:
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
-                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("new_label"),
+                (F.least(F.col("label"), F.coalesce("nmin", "label")) != F.col("label"))
+                .cast("int")
+                .alias("changed"),
             )
+            .localCheckpoint()  # the round's one job; truncates lineage
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels.persist()
-        if changed == 0:
+        labels = stepped.select("doc_id", F.col("new_label").alias("label"))
+        # scan of the checkpointed blocks only — no recompute, no extra join
+        # (max over an empty frame is NULL → treat as converged)
+        if (stepped.agg(F.max("changed")).collect()[0][0] or 0) == 0:
+            converged = True
             break
+    edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"dedup_groups: label propagation did not converge in {max_iters} "
+            "iterations (duplicate-graph diameter too large); raise max_iters"
+        )
     return labels.select(
         "doc_id", F.col("label").alias("canonical_doc_id")
     ).orderBy("doc_id")
 
 
-def simhash_fingerprints(documents: DataFrame) -> DataFrame:
-    """{SIMHASH_BITS}-bit SimHash over word tokens (hash = first 4 md5 hex
-    chars → int); returns fingerprint + per-fingerprint collision counts."""
-    bit_sums = []
-    for j in range(SIMHASH_BITS):
-        bit_sums.append(
-            "aggregate(hs, 0L, (acc, h) -> acc + "
-            f"(CASE WHEN (CAST(h / {1 << j} AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END))"
-            f" AS s{j}"
-        )
+def dedup_groups_oracle_sql() -> str:
+    """Exact connected components in DuckDB: recursive min-reachability over
+    the symmetric LSH pair graph — every doc's canonical id is the least
+    doc_id reachable from it (including itself)."""
+    return f"""
+WITH RECURSIVE {_lsh_pairs_cte_body()},
+edges AS (
+  SELECT doc_a, doc_b FROM lsh_pairs
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b FROM lsh_pairs
+),
+reach(doc_id, r) AS (
+  SELECT doc_a, doc_b FROM edges
+  UNION
+  SELECT e.doc_a, reach.r FROM edges e JOIN reach ON e.doc_b = reach.doc_id
+)
+SELECT doc_id, least(doc_id, min(r)) AS canonical_doc_id
+FROM reach GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def simhash_docs(documents: DataFrame) -> DataFrame:
+    """(doc_id, simhash): {SIMHASH_BITS}-bit SimHash over word tokens
+    (per-word hash = first {SIMHASH_HEX_CHARS} md5 hex chars → BIGINT) —
+    pure map-side codegen'd expressions, no shuffle."""
+    # bit test via shiftright, not division: h / 2^j is DOUBLE division in
+    # Spark SQL and silently loses low bits past the 53-bit mantissa
+    bit_sums = [
+        "aggregate(hs, 0L, (acc, h) -> acc + "
+        f"(CASE WHEN (shiftright(h, {j}) & 1) = 1 THEN 1 ELSE -1 END))"
+        f" AS s{j}"
+        for j in range(SIMHASH_BITS)
+    ]
     hashed = documents.select(
         "doc_id",
         F.expr(
-            "transform(split(text, ' '), t -> cast(conv(substr(md5(t), 1, 4), 16, 10) as bigint))"
+            f"transform(split(text, ' '), t -> cast(conv(substr(md5(t), 1, {SIMHASH_HEX_CHARS}), 16, 10) as bigint))"
         ).alias("hs"),
     )
     sums = hashed.selectExpr("doc_id", *bit_sums)
     fp_expr = " + ".join(
-        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+        f"(CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(SIMHASH_BITS)
     )
-    fp = sums.selectExpr("doc_id", f"({fp_expr}) AS simhash")
-    return (
-        fp.groupBy("simhash")
-        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
-        .orderBy("simhash")
-    )
+    return sums.selectExpr("doc_id", f"({fp_expr}) AS simhash")
 
 
-def simhash_fingerprints_oracle_sql() -> str:
+def _simhash_duck_fp_cte() -> str:
+    """DuckDB CTEs ``hashed, sums, fp`` producing (doc_id, simhash)."""
     bit_sums = ",\n         ".join(
-        f"list_sum(list_transform(hs, h -> CASE WHEN (CAST(h // {1 << j} AS BIGINT)) % 2 = 1 "
+        f"list_sum(list_transform(hs, h -> CASE WHEN ((h >> {j}) & 1) = 1 "
         f"THEN 1 ELSE -1 END)) AS s{j}"
         for j in range(SIMHASH_BITS)
     )
     fp_expr = " + ".join(
-        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+        f"(CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(SIMHASH_BITS)
     )
-    return f"""
-WITH hashed AS (
+    return f"""hashed AS (
   SELECT doc_id,
          list_transform(string_split(text, ' '),
-                        t -> ('0x' || substr(md5(t), 1, 4))::BIGINT) AS hs
+                        t -> ('0x' || substr(md5(t), 1, {SIMHASH_HEX_CHARS}))::BIGINT) AS hs
   FROM documents
 ), sums AS (
   SELECT doc_id,
@@ -441,7 +499,96 @@ WITH hashed AS (
   FROM hashed
 ), fp AS (
   SELECT doc_id, ({fp_expr}) AS simhash FROM sums
-)
+)"""
+
+
+def simhash_fingerprints(documents: DataFrame) -> DataFrame:
+    """SimHash fingerprint summary: per-fingerprint doc counts (exact
+    collisions at 60 bits ⇒ effectively identical token multisets)."""
+    return (
+        simhash_docs(documents)
+        .groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .orderBy("simhash")
+    )
+
+
+def simhash_fingerprints_oracle_sql() -> str:
+    return f"""
+WITH {_simhash_duck_fp_cte()}
 SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc_id
 FROM fp GROUP BY simhash ORDER BY simhash
+"""
+
+
+_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1
+
+
+def simhash_near_dup_pairs(
+    documents: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING
+) -> DataFrame:
+    """SimHash near-duplicate pairs via the Hamming-band join (Manku et al.,
+    'Detecting Near-Duplicates for Web Crawling', WWW'07 shape).
+
+    {SIMHASH_BANDS} bands of {SIMHASH_BAND_BITS} bits: any two prints
+    within Hamming distance {SIMHASH_MAX_HAMMING} agree exactly on ≥1 band
+    (pigeonhole), so the self-join on (band_idx, band_val) finds ALL such
+    pairs while touching only same-band buckets — the key is
+    high-cardinality (up to {SIMHASH_BANDS}·2^{SIMHASH_BAND_BITS}), never a
+    cross product; exact ``bit_count(xor)`` verifies survivors.
+    """
+    fp = simhash_docs(documents)
+    band_args = ", ".join(
+        f"{j}, shiftright(simhash, {j * SIMHASH_BAND_BITS}) & {_BAND_MASK}"
+        for j in range(SIMHASH_BANDS)
+    )
+    banded = fp.selectExpr(
+        "doc_id",
+        "simhash",
+        f"stack({SIMHASH_BANDS}, {band_args}) AS (band_idx, band_val)",
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(sim_a ^ sim_b)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_near_dup_pairs_oracle_sql(max_hamming: int = SIMHASH_MAX_HAMMING) -> str:
+    bands = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, simhash, {j} AS band_idx,"
+        f" (simhash >> {j * SIMHASH_BAND_BITS}) & {_BAND_MASK} AS band_val FROM fp"
+        for j in range(SIMHASH_BANDS)
+    )
+    return f"""
+WITH {_simhash_duck_fp_cte()},
+banded AS (
+  {bands}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sim_a, b.simhash AS sim_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}
+ORDER BY doc_a, doc_b
 """

@@ -117,6 +117,82 @@ def test_multimodal_plumbing(spark):
             assert f.width and f.height
 
 
+def test_jaccard_pairs_across_length_bucket_boundary(spark):
+    """Near-identical docs whose lengths straddle a 64-char bucket boundary
+    must still pair: adjacent-bucket blocking, not exact equality (which
+    silently dropped these)."""
+    from pyspark.sql import functions as F
+
+    from go_readability_spark.textops.dedup import ngram_jaccard_pairs
+
+    # 30 distinct words: 10×2 chars + 20×3 chars + 29 spaces = 109 → bucket 1
+    words = [f"w{i}" for i in range(30)]
+    base = " ".join(words)
+    assert len(base) // 64 == 1
+    # replace the LAST word with a 22-char word → length 128 → bucket 2;
+    # only the 3 trailing shingles change: J = 25/31 ≈ 0.806 ≥ 0.8
+    edited = " ".join(words[:-1] + ["x" * 22])
+    assert len(edited) // 64 == 2
+    docs = spark.createDataFrame(
+        [("docA", "en", base), ("docB", "en", edited)],
+        "doc_id string, lang string, text string",
+    )
+    pairs = ngram_jaccard_pairs(docs).collect()
+    assert [(p.doc_a, p.doc_b) for p in pairs] == [("docA", "docB")]
+    assert pairs[0].jaccard >= 0.8
+
+
+def _py_simhash(text: str) -> int:
+    """Pure-Python mirror of simhash_docs (md5-prefix word hash, 60 bits)."""
+    import hashlib
+
+    from go_readability_spark.textops.dedup import SIMHASH_BITS, SIMHASH_HEX_CHARS
+
+    sums = [0] * SIMHASH_BITS
+    for t in text.split(" "):
+        h = int(hashlib.md5(t.encode()).hexdigest()[:SIMHASH_HEX_CHARS], 16)
+        for j in range(SIMHASH_BITS):
+            sums[j] += 1 if (h >> j) & 1 else -1
+    return sum(1 << j for j in range(SIMHASH_BITS) if sums[j] > 0)
+
+
+def test_simhash_hamming_pairs_one_word_edit(spark):
+    """A one-word edit of a long doc must pair with its original through the
+    Hamming-band join (the property 16-bit exact-collision grouping lacked)."""
+    from go_readability_spark.textops.dedup import (
+        SIMHASH_MAX_HAMMING,
+        simhash_near_dup_pairs,
+    )
+
+    words = [f"tok{i % 40}" for i in range(200)]
+    base = " ".join(words)
+    # deterministically pick an edit whose simhash lands within the default
+    # Hamming budget (md5 is fixed, so this search is reproducible)
+    base_fp = _py_simhash(base)
+    edited = None
+    for c in range(64):
+        cand = " ".join(words[:100] + [f"edit{c}"] + words[101:])
+        ham = bin(base_fp ^ _py_simhash(cand)).count("1")
+        if 1 <= ham <= SIMHASH_MAX_HAMMING:
+            edited, expect_ham = cand, ham
+            break
+    assert edited is not None
+    docs = spark.createDataFrame(
+        [("orig", base), ("edit", edited), ("other", "completely different unrelated words here now")],
+        "doc_id string, text string",
+    )
+    pairs = simhash_near_dup_pairs(docs).collect()
+    assert [(p.doc_a, p.doc_b, p.hamming) for p in pairs] == [("edit", "orig", expect_ham)]
+
+
+def test_dedup_groups_raises_when_not_converged(spark):
+    from go_readability_spark.textops.dedup import dedup_groups
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_groups(docs, max_iters=0)
+
+
 def test_dedup_groups_matches_union_find(spark):
     """Connected-components canonical assignment must equal an exact
     union-find over the same LSH pair graph (transitive closure)."""
