@@ -4,9 +4,19 @@
   Query side is tiny and broadcast; the candidate scan is map-side
   (zip_with dot product in codegen'd JVM expressions), the only shuffle
   is the per-query top-k window.
-- ``lsh_bucketed_topk``: the scale path — random-hyperplane (sign-bit)
-  bucketing; queries only compare against candidates in the same bucket,
-  so the join key prunes the pair space by ~2^nbits.
+- ``lsh_bucketed_topk`` / ``embedding_near_dup_pairs``: the scale path —
+  random-hyperplane (sign-bit) LSH signatures, *banded* exactly like the
+  MinHash LSH for text: EMB_PLANES sign bits split into EMB_BANDS bands;
+  two vectors are candidates iff they agree on ≥1 whole band.  The join
+  key (band_idx, band_val) has cardinality EMB_BANDS · 2^(bits/band) and
+  is data-spread (random hyperplanes), so no constant-8-bucket skew
+  magnet; at larger corpora raise EMB_PLANES (bits/band grows ~log n)
+  without touching the operator shape.
+
+Hyperplanes are deterministic ±1 vectors over ALL embedding dimensions
+(an LCG expanded at import), embedded as literals in both the Spark
+expressions and the DuckDB oracle — same constants, same sequential
+left-fold order, so sign bits and cosines match bit-for-bit.
 
 Float→double casts happen before any arithmetic and the fold order is the
 sequential left fold in BOTH engines, so oracle values match bit-for-bit
@@ -19,7 +29,28 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 N_QUERIES = 8       # vec_id < N_QUERIES form the query set
 TOP_K = 5
-LSH_PLANES = 3      # sign bits of the first LSH_PLANES dims
+EMB_DIM = 64        # testdata embeddings.parquet dimension
+EMB_PLANES = 16     # sign-bit hyperplanes (raise with corpus size)
+EMB_BANDS = 4       # bands of EMB_PLANES / EMB_BANDS bits each
+EMB_BAND_BITS = EMB_PLANES // EMB_BANDS
+_EMB_BAND_MASK = (1 << EMB_BAND_BITS) - 1
+
+
+def _hyperplanes(n_planes: int = EMB_PLANES, dim: int = EMB_DIM) -> list[list[int]]:
+    """Deterministic ±1 hyperplane matrix from a fixed LCG — identical
+    constants on the Spark and DuckDB sides."""
+    state = 0x5DEECE66D
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(1 if (state >> 32) & 1 else -1)
+        planes.append(row)
+    return planes
+
+
+_PLANES = _hyperplanes()
 
 
 _DOT = (
@@ -94,6 +125,77 @@ FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 """
 
 
+# ------------------------------------------------------- LSH signature/bands
+def _sig_dots_spark() -> list[str]:
+    """One codegen'd dot-product expression per hyperplane (zip_with over
+    the full embedding, sequential left fold — matches DuckDB)."""
+    exprs = []
+    for p, plane in enumerate(_PLANES):
+        consts = ", ".join(f"{c}D" for c in plane)
+        exprs.append(
+            f"aggregate(zip_with(embedding, array({consts}),"
+            f" (x, c) -> cast(x as double) * c), 0D, (acc, v) -> acc + v) AS d{p}"
+        )
+    return exprs
+
+
+def _sig_expr_spark() -> str:
+    return " + ".join(
+        f"(CASE WHEN d{p} >= 0 THEN {1 << p} ELSE 0 END)" for p in range(EMB_PLANES)
+    )
+
+
+def lsh_signatures(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, sig): {EMB_PLANES}-bit random-hyperplane signature —
+    pure map-side expressions, no shuffle."""
+    dots = embeddings.selectExpr("vec_id", *_sig_dots_spark())
+    return dots.selectExpr("vec_id", f"({_sig_expr_spark()}) AS sig")
+
+
+def _banded(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, band_idx, band_val) — one row per band per vector; the
+    self-join key that replaces the cross product."""
+    band_args = ", ".join(
+        f"{j}, shiftright(sig, {j * EMB_BAND_BITS}) & {_EMB_BAND_MASK}"
+        for j in range(EMB_BANDS)
+    )
+    return lsh_signatures(embeddings).selectExpr(
+        "vec_id", f"stack({EMB_BANDS}, {band_args}) AS (band_idx, band_val)"
+    )
+
+
+def _duck_sig_ctes(src: str = "embeddings") -> str:
+    """DuckDB CTEs ``dots, sig`` producing (vec_id, embedding, sig)."""
+    dot_exprs = []
+    for p, plane in enumerate(_PLANES):
+        consts = "[" + ", ".join(str(c) for c in plane) + "]"
+        dot_exprs.append(
+            f"list_reduce(list_transform(range(1, {EMB_DIM} + 1),"
+            f" i -> CAST(embedding[i] AS DOUBLE) * ({consts}[i])),"
+            f" (x, y) -> x + y) AS d{p}"
+        )
+    dots = ",\n         ".join(dot_exprs)
+    sig = " + ".join(
+        f"(CASE WHEN d{p} >= 0 THEN {1 << p} ELSE 0 END)" for p in range(EMB_PLANES)
+    )
+    return f"""dots AS (
+  SELECT vec_id, embedding,
+         {dots}
+  FROM {src}
+), sig AS (
+  SELECT vec_id, embedding, ({sig}) AS sig FROM dots
+)"""
+
+
+def _duck_banded_cte() -> str:
+    bands = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {j} AS band_idx,"
+        f" (sig >> {j * EMB_BAND_BITS}) & {_EMB_BAND_MASK} AS band_val FROM sig"
+        for j in range(EMB_BANDS)
+    )
+    return f"banded AS (\n  {bands}\n)"
+
+
 # testdata embeddings are well-spread (max pairwise cosine ≈ 0.51); 0.42
 # yields a meaningful near-dup candidate set at every sf
 NEAR_DUP_THRESHOLD = 0.42
@@ -102,20 +204,32 @@ NEAR_DUP_THRESHOLD = 0.42
 def embedding_near_dup_pairs(
     embeddings: DataFrame, threshold: float = NEAR_DUP_THRESHOLD
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: all (a, b) with cosine ≥ τ,
-    blocked on the sign-bit LSH bucket so the pair space is pruned ~2^bits
-    before any dot product (the classic scale move for O(n²) similarity).
+    """Embedding-cosine near-duplicate pairs: all banded-LSH candidate
+    pairs (≥1 shared band of sign bits) with cosine ≥ τ.
+
+    The pair space is pruned by the band join before any dot product; the
+    surviving candidate set is tiny, so the vector fetch-back join and the
+    exact cosine are cheap.  Recall < 1 by construction (LSH); the oracle
+    implements the identical bucketing, so values still match exactly.
     """
-    bucketed = embeddings.withColumn("bucket", F.expr(_bucket_expr_spark()))
-    a = bucketed.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("qe"), "bucket"
+    # persist: the self-join would otherwise recompute the signature
+    # subtree (16 dot products per vector) on both sides
+    banded = _banded(embeddings).persist()
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
     )
-    b = bucketed.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("ce"), "bucket"
-    )
-    pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    va = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("qe"))
+    vb = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("ce"))
     return (
-        _with_cosine(pairs)
+        _with_cosine(cand.join(va, "vec_a").join(vb, "vec_b"))
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
         .orderBy("vec_a", "vec_b")
@@ -124,49 +238,47 @@ def embedding_near_dup_pairs(
 
 def embedding_near_dup_pairs_oracle_sql(threshold: float = NEAR_DUP_THRESHOLD) -> str:
     return f"""
-WITH b AS (
-  SELECT vec_id, embedding, {{bucket}} AS bucket FROM embeddings
+WITH {_duck_sig_ctes()},
+{_duck_banded_cte()},
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.vec_id < b.vec_id
 ), pairs AS (
-  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
-         {_duck_cos('a.embedding', 'b2.embedding')} AS cosine
-  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+  SELECT c.vec_a, c.vec_b, {_duck_cos('x.embedding', 'y.embedding')} AS cosine
+  FROM cand c
+  JOIN embeddings x ON x.vec_id = c.vec_a
+  JOIN embeddings y ON y.vec_id = c.vec_b
 )
 SELECT vec_a, vec_b, cosine FROM pairs
 WHERE cosine >= {threshold} ORDER BY vec_a, vec_b
-""".format(bucket=_bucket_expr_duck("embedding"))
-
-
-def _bucket_expr_spark() -> str:
-    terms = " + ".join(
-        f"(CASE WHEN cast(element_at(embedding, {i + 1}) as double) >= 0 THEN {1 << i} ELSE 0 END)"
-        for i in range(LSH_PLANES)
-    )
-    return f"({terms})"
-
-
-def _bucket_expr_duck(col: str) -> str:
-    terms = " + ".join(
-        f"(CASE WHEN CAST({col}[{i + 1}] AS DOUBLE) >= 0 THEN {1 << i} ELSE 0 END)"
-        for i in range(LSH_PLANES)
-    )
-    return f"({terms})"
+"""
 
 
 def lsh_bucketed_topk(
     embeddings: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K
 ) -> DataFrame:
-    """ANN: same-bucket candidates only — equi-join on the bucket id
-    replaces the cross join (at scale: shuffle on a small int key, prunable
-    and AQE-balanced).  Recall < 1 by construction; the oracle implements
-    the identical bucketing, so values still match exactly."""
-    bucketed = embeddings.withColumn("bucket", F.expr(_bucket_expr_spark()))
-    q = bucketed.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "bucket"
+    """ANN: banded-LSH candidates only — the band equi-join replaces the
+    cross join (at scale: shuffle on a (band_idx, band_val) key whose
+    cardinality grows with EMB_PLANES, prunable and AQE-balanced).
+    Recall < 1 by construction; the oracle implements the identical
+    bucketing, so values still match exactly."""
+    banded = _banded(embeddings).persist()
+    q = banded.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "band_idx", "band_val"
     )
-    c = bucketed.filter(F.col("vec_id") >= n_queries).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"), "bucket"
+    c = banded.filter(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("neighbor_id"), "band_idx", "band_val"
     )
-    scored = _with_cosine(F.broadcast(q).join(c, "bucket"))
+    cand = (
+        F.broadcast(q)
+        .join(c, ["band_idx", "band_val"])
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    vq = embeddings.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    vc = embeddings.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    scored = _with_cosine(cand.join(F.broadcast(vq), "query_id").join(vc, "neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -178,13 +290,18 @@ def lsh_bucketed_topk(
 
 def lsh_bucketed_topk_oracle_sql(n_queries: int = N_QUERIES, k: int = TOP_K) -> str:
     return f"""
-WITH b AS (
-  SELECT vec_id, embedding, {_bucket_expr_duck('embedding')} AS bucket FROM embeddings
+WITH {_duck_sig_ctes()},
+{_duck_banded_cte()},
+cand AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+  WHERE a.vec_id < {n_queries} AND b.vec_id >= {n_queries}
 ), scored AS (
-  SELECT a.vec_id AS query_id, b2.vec_id AS neighbor_id,
-         {_duck_cos('a.embedding', 'b2.embedding')} AS cosine
-  FROM b a JOIN b b2 ON a.bucket = b2.bucket
-  WHERE a.vec_id < {n_queries} AND b2.vec_id >= {n_queries}
+  SELECT c.query_id, c.neighbor_id, {_duck_cos('x.embedding', 'y.embedding')} AS cosine
+  FROM cand c
+  JOIN embeddings x ON x.vec_id = c.query_id
+  JOIN embeddings y ON y.vec_id = c.neighbor_id
 ), ranked AS (
   SELECT query_id, neighbor_id, cosine,
          row_number() OVER (PARTITION BY query_id

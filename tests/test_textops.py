@@ -185,6 +185,31 @@ def test_simhash_hamming_pairs_one_word_edit(spark):
     assert [(p.doc_a, p.doc_b, p.hamming) for p in pairs] == [("edit", "orig", expect_ham)]
 
 
+def test_embedding_lsh_banded_keys_and_near_dup_recall(spark):
+    """The banded hyperplane LSH must (a) spread candidates over a key
+    space that grows with EMB_PLANES (not a constant 8 buckets), and
+    (b) always pair a true near-duplicate vector (uniform positive scaling
+    preserves every sign bit, so all bands match)."""
+    from pyspark.sql import Row
+
+    from go_readability_spark.textops.similarity import (
+        EMB_BANDS,
+        _banded,
+        embedding_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    keys = _banded(emb).select("band_idx", "band_val").distinct().count()
+    assert keys > 8  # the round-1 design had exactly 8 buckets total
+    assert keys <= EMB_BANDS * 16
+
+    rows = [Row(vec_id=r.vec_id, embedding=r.embedding) for r in emb.limit(3).collect()]
+    dup = Row(vec_id=10_000, embedding=[x * 1.01 for x in rows[0].embedding])
+    small = spark.createDataFrame(rows + [dup], "vec_id long, embedding array<float>")
+    pairs = embedding_near_dup_pairs(small, threshold=0.99).collect()
+    assert (rows[0].vec_id, 10_000) in {(p.vec_a, p.vec_b) for p in pairs}
+
+
 def test_dedup_groups_raises_when_not_converged(spark):
     from go_readability_spark.textops.dedup import dedup_groups
 
