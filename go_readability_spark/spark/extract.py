@@ -71,19 +71,24 @@ def extract_one(doc_id: str, html: str, uri: str | None, options: Options) -> di
     }
 
 
-def _batch_extractor(options: Options, emit_every: int):
+def _batch_extractor(options: Options, emit_every: int, emit_bytes: int = 8_000_000):
     cols = [f.name for f in ARTICLES_SCHEMA.fields]
 
     def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out: list[dict] = []
+        out_sz = 0
         for pdf in batches:
             has_uri = "uri" in pdf.columns
             for row in pdf.itertuples(index=False):
                 uri = getattr(row, "uri", None) if has_uri else None
                 out.append(extract_one(row.doc_id, row.html, uri, options))
-                if len(out) >= emit_every:
+                # byte bound flushes early when a mega article lands in a
+                # mixed batch — the buffer never holds a mega plus dozens
+                # of peers (input length is a safe upper proxy for output)
+                out_sz += len(row.html or "")
+                if len(out) >= emit_every or out_sz >= emit_bytes:
                     yield pd.DataFrame(out, columns=cols)
-                    out = []
+                    out, out_sz = [], 0
         if out:
             yield pd.DataFrame(out, columns=cols)
 
@@ -166,12 +171,45 @@ def route_and_extract(
     docs/s without/with).  The production corpus is bucketed at write time
     (Iceberg ``bucket(B, doc_id)``), so the normal path reads in place and
     shuffles nothing.
+
+    Scan count: a two-branch filter split naively re-scans the corpus
+    (2× read amplification for a ~1/500 mega fraction).  Avoided two ways:
+    - With ``num_partitions`` the job already pays one full-corpus
+      exchange, so routing happens INSIDE it: the salt expression gives
+      megas doc_id-resolution salts (each mega lands in an independently
+      random partition, never clustered) and one extraction pass covers
+      everything — one scan, one shuffle, no union.  (Exchange reuse
+      across a two-branch union does not work here: Python map nodes
+      don't canonicalize equal, verified on the executed plan.)
+    - Without it, the dedicated mega pass remains, but pass an input that
+      already carries ``doc_bytes`` (materialize it at ingest and
+      cluster/sort files by it — each branch's filter then prunes at the
+      parquet row-group level and each byte is read once).  If absent it
+      is computed here, and only the 8-byte size column is evaluated
+      twice, never the reassembled HTML.
     """
-    sized = with_doc_bytes(df)
+    has_bytes = "doc_bytes" in df.columns
+    sized = df if has_bytes else with_doc_bytes(df)
+    if num_partitions:
+        salt = (
+            F.when(
+                F.col("doc_bytes") > mega_doc_bytes,
+                F.concat(F.lit("m"), F.col("doc_id").cast("string")),
+            )
+            .otherwise(
+                F.pmod(
+                    F.xxhash64(F.col("doc_id"), F.lit(64)), F.lit(num_partitions)
+                ).cast("string")
+            )
+        )
+        routed = (
+            sized.withColumn("_salt", salt)
+            .repartition(num_partitions, F.col("_salt"))
+            .drop("_salt", "doc_bytes")
+        )
+        return extract_articles(routed, options)
     small = sized.filter(F.col("doc_bytes") <= mega_doc_bytes).drop("doc_bytes")
     mega = sized.filter(F.col("doc_bytes") > mega_doc_bytes).drop("doc_bytes")
-    if num_partitions:
-        small = salted_repartition(small, num_partitions)
     # Arrow input batches are cut per partition, so worker memory for the
     # mega branch = (megas co-resident in one partition) × doc size.  Hash
     # megas across many partitions (empty tasks cost ~ms) so a batch almost
