@@ -4,8 +4,12 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
+from typing import TYPE_CHECKING, Callable, Optional
 
 from .regexps import VIDEOS
+
+if TYPE_CHECKING:  # pragma: no cover - import cycle guard (dom imports options-free)
+    from .dom import Node
 
 # Flag bitmask driving the retry sieve (readability.go:37-39).
 FLAG_STRIP_UNLIKELYS = 0x1
@@ -31,6 +35,16 @@ class Options:
     allowed_video_regex: re.Pattern = VIDEOS
     min_content_length: int = 140
     min_score: float = 20.0
+    # Pluggable hooks (options.go:14-22, defaults options.go:26-40):
+    # serializer: article Node → HTML string; None = Node.get_inner_html()
+    # (the reference default, options.go:33-35).
+    serializer: Optional[Callable[["Node"], str]] = None
+    # html2text: HTML string → text content; None = article
+    # GetTextContent (readability.go:2222-2226).
+    html2text: Optional[Callable[[str], str]] = None
+    # visibility_checker: Node → bool, consulted by is_probably_readerable
+    # (readerable.go:80); None = the built-in isNodeVisible equivalent.
+    visibility_checker: Optional[Callable[["Node"], bool]] = None
 
 
 @dataclass

@@ -1393,8 +1393,17 @@ class Readability:
                 metadata.excerpt = paragraphs[0].get_text_content().strip()
 
         self._last_article = article_content
-        html_content = article_content.get_inner_html()
-        text_content = article_content.get_text_content()
+        # Pluggable serialization hooks (readability.go:2219-2226): a custom
+        # serializer replaces GetInnerHTML; a custom html2text derives
+        # text_content from the serialized HTML instead of the DOM walk.
+        if self.options.serializer is not None:
+            html_content = self.options.serializer(article_content)
+        else:
+            html_content = article_content.get_inner_html()
+        if self.options.html2text is not None:
+            text_content = self.options.html2text(html_content)
+        else:
+            text_content = article_content.get_text_content()
 
         return Result(
             title=self.article_title,

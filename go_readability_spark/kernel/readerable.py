@@ -69,9 +69,11 @@ def is_probably_readerable(html_source: str, options: Options | None = None) -> 
         stack.extend(reversed(n.children))
     nodes.extend(br_parents)
 
+    # pluggable visibility hook (readerable.go:46,80; default isNodeVisible)
+    visible = opts.visibility_checker or _is_node_visible
     score = 0.0
     for n in nodes:
-        if not _is_node_visible(n):
+        if not visible(n):
             continue
         match_string = n.get_attribute("class") + " " + n.get_attribute("id")
         if rx.UNLIKELY_CANDIDATES.search(match_string) and not (
