@@ -73,7 +73,12 @@ def _make_sessionizer(idle_timeout_ms: int):
                     closed.append((cur_start, cur_end, cur_n, "gap"))
                     cur_start, cur_end, cur_n = t, t, 1
                 else:
-                    cur_end = t
+                    # cross-batch out-of-order arrival: an event older than
+                    # the stored session end must not shrink the session
+                    # (a shrunken end would spuriously split on the next gap
+                    # check); extend the envelope instead
+                    cur_start = min(cur_start, t)
+                    cur_end = max(cur_end, t)
                     cur_n += 1
             if cur_start is not None:
                 state.update((cur_start, cur_end, cur_n))

@@ -16,6 +16,62 @@ def root():
     shutil.rmtree(d, ignore_errors=True)
 
 
+class _FakeState:
+    """Minimal GroupState stand-in for driving the sessionizer directly."""
+
+    def __init__(self, value=None):
+        self._v = value
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+
+def test_out_of_order_event_does_not_shrink_session():
+    """Cross-batch out-of-order arrival: stored end E, next batch delivers
+    E-10min then E+25min.  The true gap is 25min < 30min, so the session
+    must stay open; the old `cur_end = t` shrank the end to E-10min and
+    spuriously split it."""
+    import pandas as pd
+
+    from go_readability_spark.streaming.sessions import _make_sessionizer
+
+    MIN = 60 * 1_000_000
+    E = 1_000_000_000_000
+    fn = _make_sessionizer(idle_timeout_ms=60_000)
+
+    state = _FakeState()
+    list(fn((7,), iter([pd.DataFrame({"ts_us": [E - 5 * MIN, E]})]), state))
+    assert state.get == (E - 5 * MIN, E, 2)
+
+    out = list(
+        fn((7,), iter([pd.DataFrame({"ts_us": [E - 10 * MIN, E + 25 * MIN]})]), state)
+    )
+    assert out == []  # no spurious gap close
+    assert state.get == (E - 10 * MIN, E + 25 * MIN, 4)
+
+    # a genuine >30min gap after the envelope end still closes the session
+    out = list(fn((7,), iter([pd.DataFrame({"ts_us": [E + 60 * MIN]})]), state))
+    closed = pd.concat(out)
+    assert list(closed.closed_by) == ["gap"]
+    assert list(closed.session_end_us) == [E + 25 * MIN]
+    assert state.get == (E + 60 * MIN, E + 60 * MIN, 1)
+
+
 def test_streaming_sessions_match_batch(spark, root):
     from go_readability_spark.plans.relational import sessionize_events
     from go_readability_spark.streaming.sessions import streaming_sessions

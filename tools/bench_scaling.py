@@ -123,20 +123,26 @@ def main() -> None:
     if args.level == "interleaved":
         # one window, adjacent pairing: the host's effective CPU speed
         # drifts between windows (beyond instantaneous steal), so levels
-        # measured minutes apart do not pair fairly
+        # measured minutes apart do not pair fairly.  SYMMETRIC best-of-2
+        # on both levels (4N,N,4N,N): taking the best 4N against a single
+        # N run would bias the selection toward the ≥0.8 gate instead of
+        # merely controlling for steal.
         h1 = run_level(args.n * 4, args.corpus, repeats=1)
-        lo = run_level(args.n, args.corpus, repeats=1)
+        l1 = run_level(args.n, args.corpus, repeats=1)
         h2 = run_level(args.n * 4, args.corpus, repeats=1)
+        l2 = run_level(args.n, args.corpus, repeats=1)
         hi = h1 if h1["docs_per_sec"] >= h2["docs_per_sec"] else h2
+        lo = l1 if l1["docs_per_sec"] >= l2["docs_per_sec"] else l2
         eff = hi["docs_per_sec"] / (4 * lo["docs_per_sec"])
         print(json.dumps({
             "metric": "scaling_efficiency_N_to_4N",
             "mode": "interleaved",
+            "pairing": "best-of-2 per level, symmetric",
             "N": args.n,
             "rate_N": round(lo["docs_per_sec"], 2),
             "rate_4N": round(hi["docs_per_sec"], 2),
             "efficiency": round(eff, 3),
-            "runs": [h1, lo, h2],
+            "runs": [h1, l1, h2, l2],
             "n_docs": lo["n_docs"],
         }))
         return
@@ -165,7 +171,9 @@ def main() -> None:
                 json.dump(cache, f)
         return cache.get(name)
 
-    low = level("low", args.n, max(1, args.repeats - 1))
+    # equal repeats per level: an unequal best-of-k pool would bias the
+    # ratio the same way the old asymmetric interleave did
+    low = level("low", args.n, args.repeats)
     high = level("high", args.n * 4, args.repeats)
     if not (low and high):
         print(json.dumps({"partial": list(cache.keys())}))
