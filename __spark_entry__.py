@@ -74,8 +74,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": lambda spark, sf: TS.langid(_docs(spark, sf)),
         "text_fingerprints": lambda spark, sf: TS.fingerprints(_docs(spark, sf)),
         # extraction surface (non-SQL-expressible: kernel inside mapInPandas;
-        # correctness gated by the 119-fixture golden suite under pytest)
+        # correctness gated by the 119-fixture golden suite under pytest, and
+        # by pinned-constant oracles below computed once from the
+        # deterministic seed-42 sf0.01 corpus — a value-level regression gate
+        # for the kernel-through-Spark path)
         "extract_articles": _extract_articles_query,
+        "extract_summary": _extract_summary_query,
         "extract_media_stats": _extract_media_stats_query,
         "extract_then_dedup": _extract_then_dedup_query,
     }
@@ -88,6 +92,29 @@ def _extract_articles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return route_and_extract(synthesize_documents(spark, sf_dir)).select(
         "doc_id", "title", "byline", "length", "status"
+    )
+
+
+def _extract_summary_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus-level digest of the extraction output — the
+    value-checkable face of extract_articles (status mix, total/min/max
+    extracted length, distinct titles)."""
+    from pyspark.sql import functions as F
+
+    from go_readability_spark.spark.corpus import synthesize_documents
+    from go_readability_spark.spark.extract import route_and_extract
+
+    arts = route_and_extract(synthesize_documents(spark, sf_dir))
+    return (
+        arts.groupBy("status")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("length").cast("long").alias("total_length"),
+            F.min("length").cast("long").alias("min_length"),
+            F.max("length").cast("long").alias("max_length"),
+            F.countDistinct("title").alias("n_titles"),
+        )
+        .orderBy("status")
     )
 
 
@@ -152,6 +179,31 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_scores": TS.quality_scores_oracle_sql(),
         "text_langid": TS.langid_oracle_sql(),
         "text_fingerprints": TS.fingerprints_oracle_sql(),
-        # extract_articles / extract_media_stats intentionally omitted:
-        # the kernel is not SQL-expressible; golden-corpus pytest gate covers it.
+        # The kernel is not SQL-expressible, so the extraction-chained
+        # queries get PINNED-CONSTANT oracles: expected values computed once
+        # from the deterministic seed-42 sf0.01 corpus (TESTDATA.md pins the
+        # data; the kernel is pinned by the 119/119 golden suite).  The
+        # driver compares at sf0.01 only, so the constants are exact there;
+        # tests/test_textops.py checks these same keys at sf0.01 too.
+        # extract_articles itself (500 wide rows) stays rows-only; its
+        # values are covered transitively by extract_summary.
+        "extract_summary": """
+SELECT * FROM (VALUES
+  ('ok', CAST(500 AS BIGINT), CAST(468373 AS BIGINT), CAST(173 AS BIGINT),
+   CAST(11035 AS BIGINT), CAST(500 AS BIGINT))
+) AS t(status, n_docs, total_length, min_length, max_length, n_titles)
+ORDER BY status
+""",
+        "extract_media_stats": """
+SELECT * FROM (VALUES
+  ('iframe', CAST(46 AS BIGINT), CAST(46 AS BIGINT)),
+  ('img', CAST(702 AS BIGINT), CAST(702 AS BIGINT))
+) AS t(kind, n_spans, n_absolute_refs)
+ORDER BY kind
+""",
+        "extract_then_dedup": """
+SELECT CAST(500 AS BIGINT) AS n_distinct_articles,
+       CAST(500 AS BIGINT) AS n_articles,
+       CAST(0 AS BIGINT) AS n_dup_groups
+""",
     }
