@@ -311,3 +311,136 @@ cand AS (
 SELECT query_id, rank, neighbor_id, cosine
 FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 """
+
+
+# ------------------------------------------------------------------ IVF ANN
+# The second scale path for ANN (complementing banded LSH): an IVF index.
+# Coarse quantizer = IVF_CLUSTERS sampled centroid vectors (deterministic:
+# the first candidate vec_ids — the classic "sample k points" init, no Lloyd
+# iterations so the quantizer is SQL-expressible and bit-stable).  Every
+# candidate vector is assigned to its argmax-cosine centroid (its inverted
+# list); a query probes only its IVF_NPROBE nearest lists.  At 100 TB:
+# IVF_CLUSTERS scales ~sqrt(n) (so inverted lists stay ~sqrt(n) long),
+# centroids are a broadcast model artifact, assignment is one map-side
+# scored pass + a partial-agg max (no n·K shuffle), and search is an
+# equi-join on centroid_id — never a cross product over the corpus.
+IVF_CLUSTERS = 8
+IVF_NPROBE = 2
+
+
+def _ivf_centroids(embeddings: DataFrame) -> DataFrame:
+    """(centroid_id, ce): the sampled coarse quantizer — vec_ids
+    [N_QUERIES, N_QUERIES + IVF_CLUSTERS), i.e. the first candidate
+    vectors, so queries never seed the index they search."""
+    return embeddings.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + IVF_CLUSTERS)
+    ).select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce"))
+
+
+def ivf_assignments(embeddings: DataFrame) -> DataFrame:
+    """(neighbor_id, centroid_id): each candidate's inverted-list key.
+
+    Shape audit: candidates stream past the broadcast centroid table
+    (map-side cosine per centroid), then ONE hash aggregation on
+    neighbor_id with map-side partial max — the shuffle carries one row
+    per candidate, not one per (candidate, centroid).  Ties break toward
+    the lowest centroid_id via max(struct(cosine, -centroid_id))."""
+    cands = embeddings.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("qe")
+    )
+    scored = _with_cosine(cands.crossJoin(F.broadcast(_ivf_centroids(embeddings))))
+    return (
+        scored.groupBy("neighbor_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cosine"), (-F.col("centroid_id")).alias("neg_cid")
+                )
+            ).alias("best")
+        )
+        .select(
+            "neighbor_id", (-F.col("best.neg_cid")).cast("long").alias("centroid_id")
+        )
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF ANN top-k: probe the nprobe nearest inverted lists per query,
+    exact cosine + top-k inside the probed lists only.
+
+    Recall < 1 by construction (a true neighbor assigned to an unprobed
+    list is missed); the oracle implements the identical index, so values
+    match exactly.  The probes frame (n_queries · nprobe rows, carrying
+    the query vectors) is broadcast, so list candidates never shuffle to
+    meet their queries — only the per-query top-k window moves data."""
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    probe_scored = _with_cosine(q.crossJoin(F.broadcast(_ivf_centroids(embeddings))))
+    pw = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("centroid_id"))
+    probes = (
+        probe_scored.withColumn("prk", F.row_number().over(pw))
+        .filter(F.col("prk") <= nprobe)
+        .select("query_id", "centroid_id", "qe")
+    )
+    lists = ivf_assignments(embeddings).join(
+        embeddings.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+        ),
+        "neighbor_id",
+    )
+    scored = _with_cosine(F.broadcast(probes).join(lists, "centroid_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
+def ivf_topk_oracle_sql(
+    n_queries: int = N_QUERIES, k: int = TOP_K, nprobe: int = IVF_NPROBE
+) -> str:
+    lo, hi = n_queries, n_queries + IVF_CLUSTERS
+    return f"""
+WITH centroids AS (
+  SELECT vec_id AS centroid_id, embedding AS cemb FROM embeddings
+  WHERE vec_id >= {lo} AND vec_id < {hi}
+), assign AS (
+  SELECT neighbor_id, centroid_id FROM (
+    SELECT b.vec_id AS neighbor_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY {_duck_cos('b.embedding', 'c.cemb')} DESC, c.centroid_id ASC
+           ) AS rk
+    FROM embeddings b CROSS JOIN centroids c WHERE b.vec_id >= {n_queries}
+  ) WHERE rk = 1
+), probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT a.vec_id AS query_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {_duck_cos('a.embedding', 'c.cemb')} DESC, c.centroid_id ASC
+           ) AS prk
+    FROM embeddings a CROSS JOIN centroids c WHERE a.vec_id < {n_queries}
+  ) WHERE prk <= {nprobe}
+), scored AS (
+  SELECT p.query_id, s.neighbor_id, {_duck_cos('x.embedding', 'y.embedding')} AS cosine
+  FROM probes p JOIN assign s ON p.centroid_id = s.centroid_id
+  JOIN embeddings x ON x.vec_id = p.query_id
+  JOIN embeddings y ON y.vec_id = s.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cosine
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""

@@ -266,3 +266,33 @@ def test_dedup_groups_matches_union_find(spark):
 
     got = {r.doc_id: r.canonical_doc_id for r in dedup_groups(docs).collect()}
     assert got == expected
+
+
+def test_ivf_topk_recall_and_index_coverage(spark):
+    """IVF ANN sanity beyond the oracle: every candidate lands in exactly
+    one inverted list, every query returns k hits, and recall against the
+    exact brute-force top-k is well above chance (nprobe/IVF_CLUSTERS of
+    the lists are probed)."""
+    from collections import Counter
+
+    from go_readability_spark.textops import similarity as S
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    n_cands = emb.filter("vec_id >= %d" % S.N_QUERIES).count()
+    assign = S.ivf_assignments(emb).collect()
+    assert len(assign) == n_cands
+    assert len({r.neighbor_id for r in assign}) == n_cands
+    assert {r.centroid_id for r in assign} <= set(
+        range(S.N_QUERIES, S.N_QUERIES + S.IVF_CLUSTERS)
+    )
+
+    exact = {(r.query_id, r.neighbor_id) for r in S.cosine_topk(emb).collect()}
+    approx = S.ivf_topk(emb).collect()
+    per_query = Counter(r.query_id for r in approx)
+    assert all(per_query[q] == S.TOP_K for q in range(S.N_QUERIES))
+    recall = len(exact & {(r.query_id, r.neighbor_id) for r in approx}) / len(exact)
+    # The testdata embeddings are near-uniformly spread (max pairwise
+    # cosine ~0.5), the worst case for IVF: expected recall ~= the probed
+    # fraction nprobe/IVF_CLUSTERS = 0.25.  Require a margin above that
+    # (clustered real embeddings do far better); measured 0.35 @ sf0.001.
+    assert recall > S.IVF_NPROBE / S.IVF_CLUSTERS + 0.04, recall
