@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh_topk": lambda spark, sf: S.lsh_bucketed_topk(_emb(spark, sf)),
         "similarity_ivf_topk": lambda spark, sf: S.ivf_topk(_emb(spark, sf)),
         "dedup_embedding_cosine": lambda spark, sf: S.embedding_near_dup_pairs(_emb(spark, sf)),
+        "dedup_embedding_groups": lambda spark, sf: S.embedding_dedup_groups(_emb(spark, sf)),
         # text analysis
         "text_token_counts": lambda spark, sf: TS.token_counts(_docs(spark, sf)),
         "text_quality_scores": lambda spark, sf: TS.quality_scores(_docs(spark, sf)),
@@ -191,6 +192,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_lsh_topk": S.lsh_bucketed_topk_oracle_sql(),
         "similarity_ivf_topk": S.ivf_topk_oracle_sql(),
         "dedup_embedding_cosine": S.embedding_near_dup_pairs_oracle_sql(),
+        "dedup_embedding_groups": S.embedding_dedup_groups_oracle_sql(),
         "text_token_counts": TS.token_counts_oracle_sql(),
         "text_quality_scores": TS.quality_scores_oracle_sql(),
         "text_langid": TS.langid_oracle_sql(),

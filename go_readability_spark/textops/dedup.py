@@ -359,9 +359,11 @@ SELECT doc_a, doc_b FROM lsh_pairs ORDER BY doc_a, doc_b
 """
 
 
-def dedup_groups(documents: DataFrame, max_iters: int = 20) -> DataFrame:
-    """Connected components over the LSH candidate-pair graph → one
-    canonical survivor per duplicate group (min-label propagation).
+def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Generic connected components over an undirected pair graph
+    (columns ``doc_a``, ``doc_b``, any orderable id type) → one canonical
+    label per component (min-label propagation).  Shared by the text-LSH
+    and embedding near-dup group operators.
 
     Pairs alone don't dedup a corpus: transitive duplicates (A~B, B~C)
     must collapse into ONE group even when A and C never pair directly.
@@ -382,10 +384,8 @@ def dedup_groups(documents: DataFrame, max_iters: int = 20) -> DataFrame:
     diameter exceeds ``max_iters`` rather than silently returning
     partially-merged groups.
 
-    Returns (doc_id, canonical_doc_id) for every doc in a duplicate group.
-    Oracle: DuckDB WITH RECURSIVE min-reachability (exact same semantics).
+    Returns (doc_id, canonical_doc_id) for every node in the graph.
     """
-    pairs = lsh_candidate_pairs(documents).select("doc_a", "doc_b")
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
@@ -422,12 +422,22 @@ def dedup_groups(documents: DataFrame, max_iters: int = 20) -> DataFrame:
     edges.unpersist()
     if not converged:
         raise RuntimeError(
-            f"dedup_groups: label propagation did not converge in {max_iters} "
-            "iterations (duplicate-graph diameter too large); raise max_iters"
+            f"connected_components: label propagation did not converge in "
+            f"{max_iters} iterations (graph diameter too large); raise max_iters"
         )
     return labels.select(
         "doc_id", F.col("label").alias("canonical_doc_id")
     ).orderBy("doc_id")
+
+
+def dedup_groups(documents: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over the text MinHash-LSH candidate-pair graph
+    → (doc_id, canonical_doc_id) per doc in a duplicate group.
+    Oracle: DuckDB WITH RECURSIVE min-reachability (exact same semantics).
+    """
+    return connected_components(
+        lsh_candidate_pairs(documents).select("doc_a", "doc_b"), max_iters
+    )
 
 
 def dedup_groups_oracle_sql() -> str:

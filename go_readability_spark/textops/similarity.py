@@ -236,9 +236,11 @@ def embedding_near_dup_pairs(
     )
 
 
-def embedding_near_dup_pairs_oracle_sql(threshold: float = NEAR_DUP_THRESHOLD) -> str:
-    return f"""
-WITH {_duck_sig_ctes()},
+def _emb_pairs_cte_body(threshold: float = NEAR_DUP_THRESHOLD) -> str:
+    """DuckDB CTE list ``dots, sig, banded, cand, pairs`` reproducing
+    ``embedding_near_dup_pairs`` — shared by the pair oracle and the
+    embedding connected-components oracle."""
+    return f"""{_duck_sig_ctes()},
 {_duck_banded_cte()},
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -249,9 +251,14 @@ cand AS (
   FROM cand c
   JOIN embeddings x ON x.vec_id = c.vec_a
   JOIN embeddings y ON y.vec_id = c.vec_b
-)
-SELECT vec_a, vec_b, cosine FROM pairs
-WHERE cosine >= {threshold} ORDER BY vec_a, vec_b
+  WHERE {_duck_cos('x.embedding', 'y.embedding')} >= {threshold}
+)"""
+
+
+def embedding_near_dup_pairs_oracle_sql(threshold: float = NEAR_DUP_THRESHOLD) -> str:
+    return f"""
+WITH {_emb_pairs_cte_body(threshold)}
+SELECT vec_a, vec_b, cosine FROM pairs ORDER BY vec_a, vec_b
 """
 
 
@@ -443,4 +450,44 @@ WITH centroids AS (
 )
 SELECT query_id, rank, neighbor_id, cosine
 FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+# -------------------------------------------------- embedding dedup groups
+def embedding_dedup_groups(
+    embeddings: DataFrame, threshold: float = NEAR_DUP_THRESHOLD
+) -> DataFrame:
+    """Connected components over the embedding near-dup pair graph →
+    (vec_id, canonical_vec_id) per vector in a near-dup cluster: the
+    embedding-space twin of ``dedup.dedup_groups`` (same min-label
+    propagation core, same scale shape — the frontier is only vectors
+    appearing in some pair)."""
+    from .dedup import connected_components
+
+    pairs = embedding_near_dup_pairs(embeddings, threshold).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return connected_components(pairs).select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("canonical_doc_id").alias("canonical_vec_id"),
+    )
+
+
+def embedding_dedup_groups_oracle_sql(threshold: float = NEAR_DUP_THRESHOLD) -> str:
+    """Exact connected components in DuckDB over the same pair graph:
+    recursive min-reachability (mirrors dedup.dedup_groups_oracle_sql)."""
+    return f"""
+WITH RECURSIVE {_emb_pairs_cte_body(threshold)},
+edges AS (
+  SELECT vec_a, vec_b FROM pairs
+  UNION ALL
+  SELECT vec_b AS vec_a, vec_a AS vec_b FROM pairs
+),
+reach(vec_id, r) AS (
+  SELECT vec_a, vec_b FROM edges
+  UNION
+  SELECT e.vec_a, reach.r FROM edges e JOIN reach ON e.vec_b = reach.vec_id
+)
+SELECT vec_id, least(vec_id, min(r)) AS canonical_vec_id
+FROM reach GROUP BY vec_id ORDER BY vec_id
 """
