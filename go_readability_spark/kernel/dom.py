@@ -473,15 +473,20 @@ class Node:
             self._inner_html = html
             self._text_content = None
         elif self.node_type == ELEMENT_NODE:
-            frag = parse_html(html, "")
-            for c in reversed(self.child_nodes):
-                c.parent_node = None
-            self.child_nodes = frag.child_nodes
-            self.children = frag.children
-            for c in self.child_nodes:
-                c.parent_node = self
+            self.adopt_children_from(parse_html(html, ""))
         else:
             self._inner_html = html
+
+    def adopt_children_from(self, frag: "Node") -> None:
+        """Replace this element's children with ``frag``'s (the
+        set_inner_html adoption step, reusable for pre-parsed fragments)."""
+        _TREE_EPOCH[0] += 1
+        for c in reversed(self.child_nodes):
+            c.parent_node = None
+        self.child_nodes = frag.child_nodes
+        self.children = frag.children
+        for c in self.child_nodes:
+            c.parent_node = self
 
     # -- document-level ------------------------------------------------------
 
@@ -498,6 +503,53 @@ class Node:
                     except ValueError:
                         return self.document_uri
         return self._base_uri
+
+
+def clone_deep(root: Node) -> Node:
+    """Structural deep clone of a subtree.
+
+    Used by the grabArticle retry restore (readability.go:1193-1196 resets
+    innerHTML from the page cache on every failed attempt): the cache is
+    parsed ONCE and each retry adopts a clone of that pristine parsed tree —
+    semantically identical to re-parsing (the clone copies the parse result
+    itself, link-set for link-set), at a fraction of the tokenizer cost.
+    Iterative (explicit stack) so kernel recursion limits never bind on
+    pathologically deep documents.  Algorithm annotations (content_score,
+    data_table) stay at their uninitialized defaults — the pristine source
+    tree is never scored."""
+    out = Node(root.node_type, root.node_name)
+    out.local_name = root.local_name
+    out.tag_name = root.tag_name
+    out._text_content = root._text_content
+    out._inner_html = root._inner_html
+    out.attributes = [list(a) for a in root.attributes]
+    stack = [(root, out)]
+    while stack:
+        orig, copy = stack.pop()
+        prev: Node | None = None
+        prev_el: Node | None = None
+        for ch in orig.child_nodes:
+            cc = Node(ch.node_type, ch.node_name)
+            cc.local_name = ch.local_name
+            cc.tag_name = ch.tag_name
+            cc._text_content = ch._text_content
+            cc._inner_html = ch._inner_html
+            cc.attributes = [list(a) for a in ch.attributes]
+            cc.parent_node = copy
+            cc.previous_sibling = prev
+            if prev is not None:
+                prev.next_sibling = cc
+            if cc.node_type == ELEMENT_NODE:
+                cc.previous_element_sibling = prev_el
+                if prev_el is not None:
+                    prev_el.next_element_sibling = cc
+                copy.children.append(cc)
+                prev_el = cc
+            copy.child_nodes.append(cc)
+            prev = cc
+            if ch.child_nodes:
+                stack.append((ch, cc))
+    return out
 
 
 def _index_of(node: Node, nodes: list[Node]) -> int:

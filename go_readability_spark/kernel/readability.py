@@ -22,6 +22,7 @@ from .dom import (
     ELEMENT_NODE,
     TEXT_NODE,
     Node,
+    clone_deep,
     create_text_node,
     new_element,
     parse_html,
@@ -548,6 +549,9 @@ class Readability:
             return None
 
         page_cache_html = page.get_inner_html()
+        # Parsed-once pristine copy of the cache: each failed attempt adopts
+        # a deep clone instead of re-tokenizing the HTML (see dom.clone_deep).
+        pristine_cache: Node | None = None
 
         while True:
             strip_unlikely_candidates = self._flag_is_active(FLAG_STRIP_UNLIKELYS)
@@ -830,7 +834,9 @@ class Readability:
             text_length = len(self._get_inner_text(article_content, True))
             if text_length < self.options.char_threshold:
                 parse_successful = False
-                page.set_inner_html(page_cache_html)
+                if pristine_cache is None:
+                    pristine_cache = parse_html(page_cache_html, "")
+                page.adopt_children_from(clone_deep(pristine_cache))
                 if self._flag_is_active(FLAG_STRIP_UNLIKELYS):
                     self._remove_flag(FLAG_STRIP_UNLIKELYS)
                     self.attempts.append((article_content, text_length))
