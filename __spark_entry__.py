@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_scores": lambda spark, sf: TS.quality_scores(_docs(spark, sf)),
         "text_langid": lambda spark, sf: TS.langid(_docs(spark, sf)),
         "text_fingerprints": lambda spark, sf: TS.fingerprints(_docs(spark, sf)),
+        "training_corpus_funnel": lambda spark, sf: TS.training_corpus_funnel(_docs(spark, sf)),
         # extraction surface (non-SQL-expressible: kernel inside mapInPandas;
         # correctness gated by the 119-fixture golden suite under pytest, and
         # by pinned-constant oracles below computed once from the
@@ -197,6 +198,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_scores": TS.quality_scores_oracle_sql(),
         "text_langid": TS.langid_oracle_sql(),
         "text_fingerprints": TS.fingerprints_oracle_sql(),
+        "training_corpus_funnel": TS.training_corpus_funnel_oracle_sql(),
         # The kernel is not SQL-expressible, so the extraction-chained
         # queries get PINNED-CONSTANT oracles: expected values computed once
         # from the deterministic seed-42 sf0.01 corpus (TESTDATA.md pins the

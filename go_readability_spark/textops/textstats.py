@@ -175,3 +175,84 @@ SELECT source, count(*) AS n_docs,
        count(DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS n_distinct
 FROM documents GROUP BY source ORDER BY source
 """
+
+
+# Funnel filter thresholds (Gopher-style cheap hygiene gates, integer
+# arithmetic so both engines agree exactly)
+FUNNEL_MIN_WORDS = 30
+FUNNEL_MIN_STOPWORD_BP = 500  # ≥5% stopwords ≈ "looks like English prose"
+
+
+def training_corpus_funnel(documents: DataFrame) -> DataFrame:
+    """The whole corpus-hygiene funnel as ONE query: exact dedup (md5
+    fingerprint, min-doc_id survivor) → quality + language gates
+    (word count, stopword ratio) → per-source funnel counts and kept
+    token volume.  This is the shape a pretraining data pipeline runs
+    nightly; every stage is a Catalyst expression, the only shuffles are
+    the fingerprint groupBy/join and the final low-cardinality rollup.
+    """
+    base = documents.select(
+        "doc_id",
+        "source",
+        F.split(F.col("text"), " ").alias("w"),
+        F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias("fp"),
+    )
+    canon = base.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    deduped = base.join(canon, ["fp", "doc_id"])
+    feats = deduped.select(
+        "source",
+        F.size("w").alias("n_words"),
+        F.round(
+            F.expr(
+                f"10000.0 * size(filter(w, t -> array_contains(array{tuple(EN_STOPWORDS)}, t))) / size(w)"
+            )
+        )
+        .cast("long")
+        .alias("stopword_bp"),
+    )
+    kept_flag = (F.col("n_words") >= FUNNEL_MIN_WORDS) & (
+        F.col("stopword_bp") >= FUNNEL_MIN_STOPWORD_BP
+    )
+    per_source = base.groupBy("source").agg(F.count("*").alias("n_docs"))
+    funnel = feats.groupBy("source").agg(
+        F.count("*").alias("n_after_dedup"),
+        F.sum(kept_flag.cast("long")).alias("n_kept"),
+        F.sum(F.when(kept_flag, F.col("n_words")).otherwise(F.lit(0))).alias(
+            "kept_tokens"
+        ),
+    )
+    return per_source.join(funnel, "source").orderBy("source")
+
+
+def training_corpus_funnel_oracle_sql() -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w,
+         md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+), canon AS (
+  SELECT fp, min(doc_id) AS doc_id FROM base GROUP BY fp
+), deduped AS (
+  SELECT b.* FROM base b JOIN canon c ON b.fp = c.fp AND b.doc_id = c.doc_id
+), feats AS (
+  SELECT source, len(w) AS n_words,
+         CAST(round(10000.0 * len(list_filter(w, t -> list_contains({_STOP_SQL}, t))) / len(w))
+              AS BIGINT) AS stopword_bp
+  FROM deduped
+), per_source AS (
+  SELECT source, count(*) AS n_docs FROM base GROUP BY source
+), funnel AS (
+  SELECT source,
+         count(*) AS n_after_dedup,
+         CAST(sum(CASE WHEN n_words >= {FUNNEL_MIN_WORDS}
+                        AND stopword_bp >= {FUNNEL_MIN_STOPWORD_BP}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(sum(CASE WHEN n_words >= {FUNNEL_MIN_WORDS}
+                        AND stopword_bp >= {FUNNEL_MIN_STOPWORD_BP}
+                       THEN n_words ELSE 0 END) AS BIGINT) AS kept_tokens
+  FROM feats GROUP BY source
+)
+SELECT p.source, p.n_docs, f.n_after_dedup, f.n_kept, f.kept_tokens
+FROM per_source p JOIN funnel f ON p.source = f.source
+ORDER BY p.source
+"""

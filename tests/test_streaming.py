@@ -83,3 +83,34 @@ def test_incremental_extraction_drains_and_resumes(spark, dirs):
     out3 = spark.read.parquet(dirs["output"])
     assert out3.count() == 8 + more.count()
     assert out3.select("doc_id").distinct().count() == out3.count()
+
+
+def test_streaming_exact_dedup_drops_within_horizon(spark, dirs):
+    """Two waves containing the same documents: the second wave's
+    duplicates are dropped (state alive within the watermark horizon);
+    distinct docs all survive exactly once."""
+    from go_readability_spark.streaming.dedup import streaming_exact_dedup
+    from go_readability_spark.streaming.incremental import read_document_stream
+
+    docs = fixture_documents(spark).limit(4).cache()
+    docs.write.mode("overwrite").parquet(dirs["input"])
+    # second wave: same content, new doc_ids → content-duplicate files
+    docs.selectExpr("concat(doc_id, '-again') AS doc_id", "uri", "spans").write.mode(
+        "append"
+    ).parquet(dirs["input"])
+
+    deduped = streaming_exact_dedup(read_document_stream(spark, dirs["input"]))
+    assert deduped.isStreaming
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("deduped")
+        .outputMode("append")
+        .option("checkpointLocation", dirs["checkpoint"] + "-d")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT doc_id, fp FROM deduped").collect()
+    assert len(out) == 4
+    assert len({r.fp for r in out}) == 4
+    docs.unpersist()
