@@ -70,3 +70,32 @@ def test_max_elems_guard_yields_too_large_row():
     assert row["spans"] is None
     ok = extract_one("d2", big, None, OPTS)
     assert ok["status"] == "ok"
+
+
+@given(st.text(alphabet="<>/ab cp&;=\"'!-x", max_size=300))
+@settings(max_examples=200, deadline=None, suppress_health_check=[HealthCheck.filter_too_much])
+def test_clone_deep_equals_parse(soup):
+    """clone_deep(parse(html)) must be indistinguishable from parse(html):
+    identical serialization, identical topology link-sets, and fully
+    detached from the source tree (the grabArticle retry-restore contract)."""
+    from go_readability_spark.kernel.dom import clone_deep, parse_html
+
+    orig = parse_html(soup, "")
+    copy = clone_deep(orig)
+    assert copy.get_inner_html() == orig.get_inner_html()
+
+    def walk(a, b):
+        assert a is not b
+        assert a.node_type == b.node_type
+        assert a.local_name == b.local_name
+        assert a.tag_name == b.tag_name
+        assert a.attributes == b.attributes
+        assert a.get_text_content() == b.get_text_content()
+        assert len(a.child_nodes) == len(b.child_nodes)
+        assert len(a.children) == len(b.children)
+        for i, (ca, cb) in enumerate(zip(a.child_nodes, b.child_nodes)):
+            assert cb.parent_node is b
+            assert cb.previous_sibling is (b.child_nodes[i - 1] if i else None)
+            walk(ca, cb)
+
+    walk(orig, copy)
