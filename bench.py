@@ -68,13 +68,26 @@ def main() -> None:
     docs_per_sec = n_out / headline_sec
 
     # --- per-query timings -------------------------------------------
+    # min-of-k per query: this sandbox VM takes intermittent hypervisor
+    # steal spikes (measured 8-12x on single queries); the min is the
+    # steal-free estimate.  k=1 restores single-shot timing.
+    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
     for name, fn in e.queries().items():
         if only and name not in only:
             continue
-        t0 = time.time()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        # extract-chained queries share one persisted articles frame
+        # (extract-once-consume-many); a repeat would time the cache, not
+        # the operator, so they stay single-shot — the first one's timing
+        # includes the one-time extraction, the rest are consumers.
+        n_runs = 1 if name.startswith("extract") else repeats
+        best = None
+        for _ in range(n_runs):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
