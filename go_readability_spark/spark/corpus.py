@@ -176,3 +176,35 @@ def synthesize_documents(
             "rep", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1)))
         ).repartition(max(32, replicate))
     return src.mapInPandas(_synth_batches, schema=DOCUMENTS_SCHEMA)
+
+
+def _ingest_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = []
+        has_uri = "uri" in pdf.columns
+        for row in pdf.itertuples(index=False):
+            out.append(
+                {
+                    "doc_id": row.doc_id,
+                    "uri": row.uri if has_uri else FIXTURE_URI,
+                    "spans": [s.as_row() for s in html_to_spans(row.html or "")],
+                }
+            )
+        yield pd.DataFrame(out, columns=["doc_id", "uri", "spans"])
+
+
+def ingest_html_documents(df: DataFrame) -> DataFrame:
+    """The generic ingest source: any table carrying (doc_id, html[, uri])
+    → the interleaved-span documents table (``DOCUMENTS_SCHEMA``,
+    BASELINE.json input_hint shape).
+
+    Distributed: the byte-preserving span codec (``codec.spans
+    .html_to_spans`` — spans_to_html(html_to_spans(x)) == x, property-
+    tested) runs inside ``mapInPandas``, so ingest scales with the cluster
+    and never materializes pages on the driver.  This is how raw crawl
+    output (JSONL/CSV/WARC-extracted HTML read with plain ``spark.read``)
+    enters the engine; ``fixture_documents``/``synthesize_documents`` are
+    just two callers of the same codec.
+    """
+    cols = ["doc_id", "html"] + (["uri"] if "uri" in df.columns else [])
+    return df.select(*cols).mapInPandas(_ingest_batches, schema=DOCUMENTS_SCHEMA)

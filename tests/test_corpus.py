@@ -36,3 +36,48 @@ def test_synthesize_documents_spark(spark):
         assert offs == sorted(offs) and len(set(offs)) == len(offs)
         html = "".join(s.text for s in r.spans)
         assert "<article>" in html and "</html>" in html
+
+
+def test_ingest_html_documents_matches_driver_side_codec(spark):
+    """Distributed ingest of raw (doc_id, html, uri) rows produces the
+    exact span rows the driver-side codec produces, and the ingested
+    corpus extracts identically to the fixture_documents path."""
+    import os
+
+    from go_readability_spark.spark.corpus import (
+        FIXTURES_DIR,
+        FIXTURE_URI,
+        fixture_documents,
+        ingest_html_documents,
+    )
+    from go_readability_spark.spark.extract import extract_articles
+
+    names = sorted(
+        n for n in os.listdir(FIXTURES_DIR)
+        if os.path.isfile(os.path.join(FIXTURES_DIR, n, "source.html"))
+    )[:5]
+    raw = spark.createDataFrame(
+        [
+            (n, open(os.path.join(FIXTURES_DIR, n, "source.html"), encoding="utf-8").read(), FIXTURE_URI)
+            for n in names
+        ],
+        "doc_id string, html string, uri string",
+    )
+    ingested = ingest_html_documents(raw)
+    ing = {r.doc_id: [tuple(s) for s in r.spans] for r in ingested.collect()}
+    fix = {
+        r.doc_id: [tuple(s) for s in r.spans]
+        for r in fixture_documents(spark).collect()
+        if r.doc_id in set(names)
+    }
+    assert ing == fix
+
+    a = extract_articles(ingested).select("doc_id", "title", "length", "status").collect()
+    b = [
+        r
+        for r in extract_articles(fixture_documents(spark))
+        .select("doc_id", "title", "length", "status")
+        .collect()
+        if r.doc_id in set(names)
+    ]
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
