@@ -128,3 +128,103 @@ def media_ref_stats(articles: DataFrame) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_payload", T.BinaryType(), True),
+    ]
+)
+
+
+def _fake_resize(payload: bytes, kind: str, max_dim: int) -> dict:
+    """Deterministic resize stand-in: clamps the fake dimensions to
+    ``max_dim`` preserving aspect, re-derives the payload as a stable
+    digest chain (production: PIL thumbnail → re-encode)."""
+    feats = _fake_decode(payload, kind)
+    w, h = feats["width"] or max_dim, feats["height"] or max_dim
+    scale = min(1.0, max_dim / max(w, h))
+    out_w, out_h = max(1, int(w * scale)), max(1, int(h * scale))
+    fake_bytes = hashlib.sha1(payload + b"|resize|%d" % max_dim).digest()
+    return {"payload": fake_bytes, "width": out_w, "height": out_h}
+
+
+def resize_media(media: DataFrame, max_dim: int = 256, real_resize=None) -> DataFrame:
+    """media(payload: binary) → resized payloads, bounded to ``max_dim``.
+
+    Binary-in/binary-out ``mapInPandas``: each Arrow batch stays small
+    (session ``arrow.maxRecordsPerBatch``) and rows are emitted per batch,
+    so peak worker memory is one batch of payloads — the contract a real
+    image pipeline needs at 100 TB.  Swap ``real_resize`` in production.
+    """
+    resize = real_resize or _fake_resize
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                payload = bytes(row.payload) if row.payload is not None else b""
+                r = resize(payload, row.kind, max_dim)
+                out.append({"media_id": row.media_id, "kind": row.kind, **r})
+            yield pd.DataFrame(out, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
+
+
+def _fake_frames(payload: bytes, kind: str) -> list[bytes]:
+    """Deterministic frame extraction stand-in: ``n_frames`` digests chained
+    from the payload (production: pyav keyframe iterator)."""
+    n = _fake_decode(payload, kind)["n_frames"] or 1
+    frames, cur = [], payload
+    for i in range(n):
+        cur = hashlib.sha1(cur + b"|frame|%d" % i).digest()
+        frames.append(cur)
+    return frames
+
+
+def sample_frames(
+    media: DataFrame, every_n: int = 4, real_frames=None
+) -> DataFrame:
+    """video/audio media → one row per sampled frame (every ``every_n``-th).
+
+    The fan-out happens INSIDE the Python batch (one wide row in, a few
+    narrow rows out) and yields per input batch, so a long video never
+    materializes all frames at once alongside its siblings.
+    """
+    frames_of = real_frames or _fake_frames
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                payload = bytes(row.payload) if row.payload is not None else b""
+                for idx, frame in enumerate(frames_of(payload, row.kind)):
+                    if idx % every_n == 0:
+                        out.append(
+                            {
+                                "media_id": row.media_id,
+                                "frame_idx": idx,
+                                "frame_payload": frame,
+                            }
+                        )
+            yield pd.DataFrame(out, columns=[f.name for f in FRAMES_SCHEMA.fields])
+
+    return (
+        media.filter(F.col("kind").isin("video", "audio"))
+        .select("media_id", "kind", "payload")
+        .mapInPandas(run, schema=FRAMES_SCHEMA)
+    )

@@ -296,3 +296,42 @@ def test_ivf_topk_recall_and_index_coverage(spark):
     # fraction nprobe/IVF_CLUSTERS = 0.25.  Require a margin above that
     # (clustered real embeddings do far better); measured 0.35 @ sf0.001.
     assert recall > S.IVF_NPROBE / S.IVF_CLUSTERS + 0.04, recall
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    """resize: binary-in/binary-out with clamped dims; frame-sample:
+    deterministic in-batch fan-out of every-Nth frame for video/audio."""
+    from go_readability_spark.textops.multimodal import (
+        MEDIA_SCHEMA,
+        _fake_decode,
+        resize_media,
+        sample_frames,
+    )
+
+    rows = [
+        {"media_id": f"m{i}", "doc_id": "d", "kind": kind,
+         "media_ref": None, "payload": f"payload-{i}".encode(),
+         "content_type": None}
+        for i, kind in enumerate(["img", "img", "video", "audio"])
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+    resized = {r.media_id: r for r in resize_media(media, max_dim=100).collect()}
+    assert len(resized) == 4
+    for i, r in enumerate(rows):
+        out = resized[r["media_id"]]
+        assert bytes(out.payload) and bytes(out.payload) != r["payload"]
+        if r["kind"] == "img":
+            assert 1 <= out.width <= 100 and 1 <= out.height <= 100
+
+    frames = sample_frames(media, every_n=2).collect()
+    assert {f.media_id for f in frames} == {"m2", "m3"}  # video/audio only
+    for mid in ("m2", "m3"):
+        n_total = _fake_decode(dict((r["media_id"], r["payload"]) for r in rows)[mid],
+                               "video")["n_frames"]
+        got = sorted(f.frame_idx for f in frames if f.media_id == mid)
+        assert got == list(range(0, n_total, 2))
+    # determinism: same input → same frame bytes
+    again = sample_frames(media, every_n=2).collect()
+    assert sorted((f.media_id, f.frame_idx, bytes(f.frame_payload)) for f in frames) == \
+           sorted((f.media_id, f.frame_idx, bytes(f.frame_payload)) for f in again)
