@@ -40,10 +40,12 @@ from .regexps import ENTITY_REFERENCES, HTML_CHAR_CODES
 ELEMENT_NODE = 1
 TEXT_NODE = 3
 
-# Global tree-mutation epoch: monotonically increasing, bumped by every
-# structural/text mutator; element subtree-text memos are valid only for
-# the epoch they were computed in.  Never reused, so staleness is impossible.
-_TREE_EPOCH = [0]
+# Subtree-text memo invalidation: every structural/text mutator marks the
+# mutated node AND its whole ancestor chain dirty (never early-stopping —
+# a clean ancestor may sit above a node whose own cache was never computed,
+# so a hit on a dirty node proves nothing about the nodes above it).
+# Untouched sibling subtrees keep their memos, which is what makes the
+# scoring loop's repeated text reads cheap between removals.
 CDATA_SECTION_NODE = 4
 COMMENT_NODE = 8
 DOCUMENT_NODE = 9
@@ -122,7 +124,7 @@ class Node:
         "document_element",
         "content_score",
         "data_table",
-        "_tc_epoch",
+        "_tc_dirty",
         "_tc_cache",
     )
 
@@ -150,8 +152,8 @@ class Node:
         # Algorithm annotations (domparser.go:385-391): None == uninitialized.
         self.content_score: float | None = None
         self.data_table: bool | None = None
-        # Subtree-text memo, valid only while _TREE_EPOCH is unchanged.
-        self._tc_epoch: int = -1
+        # Subtree-text memo, valid while _tc_dirty is False.
+        self._tc_dirty: bool = True
         self._tc_cache: str = ""
 
     def __repr__(self) -> str:  # debugging aid only
@@ -171,13 +173,25 @@ class Node:
         return self.children[0] if self.children else None
 
     # -- mutation (mirrors domparser.go:421-583) -----------------------------
-    # Every mutator bumps _TREE_EPOCH, invalidating all subtree-text memos
-    # at once (epochs are never reused, so stale caches can't resurrect).
+    # Every mutator marks the mutated node's ancestor chain dirty (see the
+    # module note above the Node class).
+
+    def _mark_text_dirty(self) -> None:
+        n: Node | None = self
+        while n is not None:
+            n._tc_dirty = True
+            n = n.parent_node
 
     def append_child(self, child: Node) -> None:
-        _TREE_EPOCH[0] += 1
+        self._mark_text_dirty()
         if child.parent_node is not None:
             child.parent_node.remove_child(child)
+        self._append_fast(child)
+
+    def _append_fast(self, child: Node) -> None:
+        """Link-set maintenance without cache invalidation — the tokenizer's
+        append path: a tree under initial construction from fresh nodes has
+        no clean memos anywhere, so there is nothing to invalidate."""
 
         last = self.last_child()
         if last is not None:
@@ -195,7 +209,7 @@ class Node:
         child.parent_node = self
 
     def remove_child(self, child: Node) -> Node:
-        _TREE_EPOCH[0] += 1
+        self._mark_text_dirty()
         idx = _index_of(child, self.child_nodes)
         if idx == -1:
             raise ValueError("remove_child: node not found")
@@ -220,7 +234,7 @@ class Node:
         return child
 
     def replace_child(self, new_node: Node, old_node: Node) -> Node:
-        _TREE_EPOCH[0] += 1
+        self._mark_text_dirty()
         child_nodes = self.child_nodes
         idx = _index_of(old_node, child_nodes)
         if idx == -1:
@@ -390,11 +404,11 @@ class Node:
                 self._text_content = decode_html(self._inner_html or "")
             return self._text_content
         if self.node_type == ELEMENT_NODE:
-            # Memoized per tree epoch: the scoring loop (link/text density,
-            # cleanConditionally) re-reads the same subtrees many times
-            # between mutations; any mutation bumps _TREE_EPOCH.
-            epoch = _TREE_EPOCH[0]
-            if self._tc_epoch == epoch:
+            # Memoized per subtree: the scoring loop (link/text density,
+            # cleanConditionally) re-reads the same subtrees many times;
+            # mutations dirty only the mutated ancestor chain, so sibling
+            # subtrees keep their memos across the removal-heavy scan.
+            if not self._tc_dirty:
                 return self._tc_cache
             parts: list[str] = []
             stack = [iter(self.child_nodes)]
@@ -410,18 +424,18 @@ class Node:
                         tc = child._text_content = decode_html(child._inner_html or "")
                     parts.append(tc)
                 elif child.child_nodes:
-                    if child._tc_epoch == epoch:
+                    if not child._tc_dirty:
                         parts.append(child._tc_cache)
                         continue
                     stack.append(iter(child.child_nodes))
             text = "".join(parts)
-            self._tc_epoch = epoch
             self._tc_cache = text
+            self._tc_dirty = False
             return text
         return self._text_content or ""
 
     def set_text_content(self, text: str) -> None:
-        _TREE_EPOCH[0] += 1
+        self._mark_text_dirty()
         if self.node_type == TEXT_NODE:
             self._text_content = text
             self._inner_html = None
@@ -468,7 +482,7 @@ class Node:
         return "".join(out)
 
     def set_inner_html(self, html: str) -> None:
-        _TREE_EPOCH[0] += 1
+        self._mark_text_dirty()
         if self.node_type == TEXT_NODE:
             self._inner_html = html
             self._text_content = None
@@ -480,7 +494,7 @@ class Node:
     def adopt_children_from(self, frag: "Node") -> None:
         """Replace this element's children with ``frag``'s (the
         set_inner_html adoption step, reusable for pre-parsed fragments)."""
-        _TREE_EPOCH[0] += 1
+        self._mark_text_dirty()
         for c in reversed(self.child_nodes):
             c.parent_node = None
         self.child_nodes = frag.child_nodes
@@ -635,7 +649,7 @@ class _DOMBuilder(_HTMLParser):
             return
         t = new_text()
         t._inner_html = raw
-        self.stack[-1].append_child(t)
+        self.stack[-1]._append_fast(t)
 
     # -- structural events -----------------------------------------------------
 
@@ -644,7 +658,7 @@ class _DOMBuilder(_HTMLParser):
         node = new_element(tag)
         for name, value in attrs:
             node.set_attribute(name, value if value is not None else "")
-        self.stack[-1].append_child(node)
+        self.stack[-1]._append_fast(node)
         # Bare start tags always open a scope -- even void elements
         # (domparser_test.go:357-367).
         self.stack.append(node)
@@ -654,7 +668,7 @@ class _DOMBuilder(_HTMLParser):
         node = new_element(tag)
         for name, value in attrs:
             node.set_attribute(name, value if value is not None else "")
-        self.stack[-1].append_child(node)
+        self.stack[-1]._append_fast(node)
         self._finish_element(node)
 
     def handle_endtag(self, tag: str) -> None:
@@ -688,14 +702,14 @@ class _DOMBuilder(_HTMLParser):
     def handle_decl(self, decl: str) -> None:
         self._flush_text()
         if decl.lower().startswith("doctype"):
-            self.stack[-1].append_child(Node(DOCUMENT_TYPE_NODE, "#documentType"))
+            self.stack[-1]._append_fast(Node(DOCUMENT_TYPE_NODE, "#documentType"))
 
     def unknown_decl(self, data: str) -> None:
         self._flush_text()
         if data.startswith("CDATA["):
             t = new_text()
             t.set_text_content(data[len("CDATA["):])
-            self.stack[-1].append_child(t)
+            self.stack[-1]._append_fast(t)
 
     def finish(self) -> None:
         self.close()
