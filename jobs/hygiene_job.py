@@ -1,0 +1,76 @@
+"""spark-submit entry point for the corpus-hygiene stage: extracted
+articles → training-corpus funnel + near-dup candidate pairs.
+
+Runs downstream of extract_job.py over its articles/ output (or any table
+with (doc_id, source, text) columns — pass --text-col/--source-col to
+remap).  Cluster deployment mirrors extract_job.py:
+
+    spark-submit --py-files dist/go_readability_spark.zip \
+        jobs/hygiene_job.py \
+        --input <articles root or documents table> \
+        --output <output root: funnel/ dup_pairs/ dup_groups/>
+
+Local smoke run:
+
+    python jobs/hygiene_job.py --input /root/testdata/sf0.001/documents.parquet \
+        --output /tmp/hygiene --local-cpus 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--source-col", default="source")
+    ap.add_argument("--skip-groups", action="store_true",
+                    help="skip connected-components grouping (pairs only)")
+    ap.add_argument("--local-cpus", type=int, default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from go_readability_spark.textops.dedup import dedup_groups, lsh_candidate_pairs
+    from go_readability_spark.textops.textstats import training_corpus_funnel
+
+    if args.local_cpus:
+        from go_readability_spark.spark.session import build_session
+
+        spark = build_session(cpus=args.local_cpus, app_name="hygiene-job")
+    else:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.appName("hygiene-job").getOrCreate()
+
+    docs = spark.read.parquet(args.input).select(
+        "doc_id",
+        F.col(args.source_col).alias("source"),
+        F.col(args.text_col).alias("text"),
+    )
+
+    funnel = training_corpus_funnel(docs)
+    funnel.write.mode("overwrite").parquet(os.path.join(args.output, "funnel"))
+
+    pairs = lsh_candidate_pairs(docs)
+    pairs.write.mode("overwrite").parquet(os.path.join(args.output, "dup_pairs"))
+
+    if not args.skip_groups:
+        groups = dedup_groups(docs)
+        groups.write.mode("overwrite").parquet(os.path.join(args.output, "dup_groups"))
+
+    n_funnel = spark.read.parquet(os.path.join(args.output, "funnel")).count()
+    n_pairs = spark.read.parquet(os.path.join(args.output, "dup_pairs")).count()
+    print(f"hygiene: {n_funnel} funnel rows, {n_pairs} candidate pairs -> {args.output}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

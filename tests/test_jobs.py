@@ -74,3 +74,28 @@ def test_mega_doc_routes_and_extracts(spark):
     assert set(out) == {"mega-1", "small-1"}
     assert out["small-1"].status == "ok"
     assert out["mega-1"].status == "ok" and out["mega-1"].length > 1_000_000
+
+
+def test_hygiene_job_end_to_end():
+    """hygiene_job over the sf0.001 documents table writes funnel,
+    dup_pairs, and dup_groups parquet outputs."""
+    root = tempfile.mkdtemp(prefix="grs_hygiene_")
+    try:
+        out = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(os.path.dirname(os.path.dirname(__file__)), "jobs", "hygiene_job.py"),
+                "--input", "/root/testdata/sf0.001/documents.parquet",
+                "--output", root,
+                "--local-cpus", "4",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        assert "funnel rows" in out.stdout
+        for sub in ("funnel", "dup_pairs", "dup_groups"):
+            assert os.path.exists(os.path.join(root, sub, "_SUCCESS"))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
