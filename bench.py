@@ -61,10 +61,14 @@ def main() -> None:
     # warm python workers (steady-state throughput, not import cost)
     route_and_extract(docs.sample(0.02, seed=1).repartition(cpus)).count()
 
-    t0 = time.time()
-    extracted = route_and_extract(docs)
-    n_out = extracted.count()
-    headline_sec = time.time() - t0
+    # best-of-2 (same steal rationale as the per-query loop below)
+    headline_sec = None
+    for _ in range(max(1, int(os.environ.get("BENCH_REPEATS", "2")))):
+        t0 = time.time()
+        extracted = route_and_extract(docs)
+        n_out = extracted.count()
+        dt = time.time() - t0
+        headline_sec = dt if headline_sec is None else min(headline_sec, dt)
     docs_per_sec = n_out / headline_sec
 
     # --- per-query timings -------------------------------------------
