@@ -46,9 +46,18 @@ def main() -> None:
     # Materialize the span corpus first (parquet) so the timed section
     # measures extraction, not synthesis.
     replicate = int(os.environ.get("BENCH_REPLICATE", "8"))
+    # cache key includes a hash of the generator source so a synth change
+    # can never silently reuse a stale materialized corpus
+    import hashlib
+
+    import go_readability_spark.spark.corpus as corpus_mod
+
+    synth_tag = hashlib.md5(
+        open(corpus_mod.__file__, "rb").read()
+    ).hexdigest()[:8]
     corpus_path = os.path.join(
         os.environ.get("BENCH_TMP", "/tmp"),
-        f"bench_corpus_{os.path.basename(sf_dir)}_x{replicate}",
+        f"bench_corpus_{os.path.basename(sf_dir)}_x{replicate}_{synth_tag}",
     )
     if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
         # pre-bucketed at write time (the Iceberg bucket(B, doc_id) layout):
