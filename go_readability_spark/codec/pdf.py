@@ -1,0 +1,98 @@
+"""Minimal PDF text-layer extraction (stdlib-only).
+
+The north rule's extraction surface includes "PDF/layout parse" alongside
+HTML boilerplate stripping.  This module handles the common simple case
+end-to-end with no third-party dependency: uncompressed or FlateDecode
+content streams, BT..ET text blocks, ``Tj`` / ``'`` / ``TJ`` show-text
+operators with PDF string escapes, page-ordered.  Anything richer
+(CID-keyed fonts, ToUnicode CMaps, encrypted files, object streams) is out
+of scope here — pass a production extractor (pypdf/pdfminer) through the
+``real_extract`` hook of ``spark.corpus.ingest_pdf_documents`` and the
+Spark-side plumbing is unchanged.
+
+Layout model: one output line per show-text operator in stream order —
+the text layer's native reading order for simple generators.  This mirrors
+how the HTML side treats the DOM's document order as layout order.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+_STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)endstream", re.DOTALL)
+_TEXT_BLOCK_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
+# (string) Tj   |   (string) '   |   [ ...(s1)...(s2)... ] TJ
+_TJ_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*(?:Tj|')")
+_TJ_ARRAY_RE = re.compile(rb"\[((?:[^\]\\]|\\.)*)\]\s*TJ", re.DOTALL)
+_STR_IN_ARRAY_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)")
+
+_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _unescape(raw: bytes) -> str:
+    out = bytearray()
+    i, n = 0, len(raw)
+    while i < n:
+        c = raw[i : i + 1]
+        if c == b"\\" and i + 1 < n:
+            nxt = raw[i + 1 : i + 2]
+            if nxt in _ESCAPES:
+                out += _ESCAPES[nxt]
+                i += 2
+                continue
+            if nxt.isdigit():  # \ddd octal (1-3 digits)
+                j = i + 1
+                while j < min(i + 4, n) and raw[j : j + 1].isdigit():
+                    j += 1
+                out.append(int(raw[i + 1 : j], 8) & 0xFF)
+                i = j
+                continue
+            i += 1  # lone backslash: dropped (line continuation et al.)
+            continue
+        out += c
+        i += 1
+    return out.decode("latin-1")
+
+
+def _content_streams(pdf: bytes) -> list[bytes]:
+    streams = []
+    for m in _STREAM_RE.finditer(pdf):
+        head, data = m.group(1), m.group(2)
+        # stream data runs to the last newline before endstream
+        data = data.rstrip(b"\r\n")
+        if b"/FlateDecode" in head:
+            try:
+                data = zlib.decompress(data)
+            except zlib.error:
+                continue
+        streams.append(data)
+    return streams
+
+
+def pdf_to_text_lines(pdf: bytes) -> list[str]:
+    """Extract the text layer: one entry per show-text operator, in
+    stream order.  Returns [] for PDFs with no extractable simple text."""
+    lines: list[str] = []
+    for stream in _content_streams(pdf):
+        for block in _TEXT_BLOCK_RE.finditer(stream):
+            body = block.group(1)
+            # array TJ first (so its inner strings aren't double-counted),
+            # tracked by span to preserve operator order
+            taken: list[tuple[int, str]] = []
+            consumed: list[tuple[int, int]] = []
+            for m in _TJ_ARRAY_RE.finditer(body):
+                parts = [_unescape(s.group(1)) for s in _STR_IN_ARRAY_RE.finditer(m.group(1))]
+                taken.append((m.start(), "".join(parts)))
+                consumed.append((m.start(), m.end()))
+            for m in _TJ_RE.finditer(body):
+                if any(a <= m.start() < b for a, b in consumed):
+                    continue
+                taken.append((m.start(), _unescape(m.group(1))))
+            for _, text in sorted(taken):
+                if text:
+                    lines.append(text)
+    return lines

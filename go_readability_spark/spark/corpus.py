@@ -208,3 +208,57 @@ def ingest_html_documents(df: DataFrame) -> DataFrame:
     """
     cols = ["doc_id", "html"] + (["uri"] if "uri" in df.columns else [])
     return df.select(*cols).mapInPandas(_ingest_batches, schema=DOCUMENTS_SCHEMA)
+
+
+def _pdf_batches(real_extract):
+    from ..codec.pdf import pdf_to_text_lines
+
+    extract = real_extract or (lambda payload: pdf_to_text_lines(payload))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            has_uri = "uri" in pdf.columns
+            for row in pdf.itertuples(index=False):
+                payload = bytes(row.payload) if row.payload is not None else b""
+                lines = extract(payload)
+                # page scaffolding: the kernel extracts from doc.body, so a
+                # text layer must arrive as a well-formed page, one span per
+                # source line (the layout unit PDF gives us)
+                pieces = ["<html><body>"]
+                pieces += [f"<p>{line}</p>" for line in lines]
+                pieces.append("</body></html>")
+                spans, off = [], 0
+                for piece in pieces:
+                    spans.append(
+                        {"kind": "text", "text": piece, "media_ref": "", "offset": off}
+                    )
+                    off += len(piece)
+                out.append(
+                    {
+                        "doc_id": row.doc_id,
+                        "uri": row.uri if has_uri else FIXTURE_URI,
+                        "spans": spans,
+                    }
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "uri", "spans"])
+
+    return run
+
+
+def ingest_pdf_documents(df: DataFrame, real_extract=None) -> DataFrame:
+    """PDF ingest source: (doc_id, payload: binary[, uri]) → the
+    interleaved-span documents table, one ``<p>`` span per text-layer line.
+
+    The stdlib extractor (``codec.pdf``) covers uncompressed + FlateDecode
+    simple PDFs; pass ``real_extract`` (payload → list[str], e.g. pypdf)
+    for full-fidelity production parsing — the distributed plumbing
+    (mapInPandas, binary column, span encoding) is identical either way.
+    The emitted documents run through the same extraction kernel as HTML
+    (paragraphs of a PDF text layer are exactly the <p>-corpus shape the
+    Arc90 scorer consumes).
+    """
+    cols = ["doc_id", "payload"] + (["uri"] if "uri" in df.columns else [])
+    return df.select(*cols).mapInPandas(
+        _pdf_batches(real_extract), schema=DOCUMENTS_SCHEMA
+    )
