@@ -35,6 +35,9 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_MAX_RECORDS))
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # articles/documents tables are scan-bound at corpus scale; zstd
+        # cuts bytes-on-disk ~1.5-2x vs snappy at comparable decode cost
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.session.timeZone", "UTC")
         # extraction at high parallelism is allocation-heavy (arrow buffers
         # per concurrent task); a larger heap measurably reduces GC stalls
