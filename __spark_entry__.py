@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_summary": _extract_summary_query,
         "extract_media_stats": _extract_media_stats_query,
         "extract_then_dedup": _extract_then_dedup_query,
+        "extract_funnel": _extract_funnel_query,
     }
     return q
 
@@ -169,6 +170,22 @@ def _extract_then_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _extract_funnel_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hygiene funnel over EXTRACTED article text (grouped by page
+    language) — extraction feeding corpus hygiene, end-to-end."""
+    from pyspark.sql import functions as F
+
+    from go_readability_spark.textops.textstats import training_corpus_funnel
+
+    arts = _extracted(spark, sf_dir).filter(F.col("status") == "ok")
+    docs = arts.select(
+        "doc_id",
+        F.coalesce(F.col("lang"), F.lit("unk")).alias("source"),
+        F.col("text_content").alias("text"),
+    )
+    return training_corpus_funnel(docs)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "metrics_agg": R.metrics_agg_oracle_sql(),
@@ -225,5 +242,15 @@ ORDER BY kind
 SELECT CAST(500 AS BIGINT) AS n_distinct_articles,
        CAST(500 AS BIGINT) AS n_articles,
        CAST(0 AS BIGINT) AS n_dup_groups
+""",
+        "extract_funnel": """
+SELECT * FROM (VALUES
+  ('de', CAST(70 AS BIGINT), CAST(70 AS BIGINT), CAST(35 AS BIGINT), CAST(5796 AS BIGINT)),
+  ('en', CAST(218 AS BIGINT), CAST(218 AS BIGINT), CAST(115 AS BIGINT), CAST(20956 AS BIGINT)),
+  ('es', CAST(73 AS BIGINT), CAST(73 AS BIGINT), CAST(39 AS BIGINT), CAST(6699 AS BIGINT)),
+  ('fr', CAST(64 AS BIGINT), CAST(64 AS BIGINT), CAST(29 AS BIGINT), CAST(5123 AS BIGINT)),
+  ('zh', CAST(75 AS BIGINT), CAST(75 AS BIGINT), CAST(39 AS BIGINT), CAST(6668 AS BIGINT))
+) AS t(source, n_docs, n_after_dedup, n_kept, kept_tokens)
+ORDER BY source
 """,
     }

@@ -42,7 +42,12 @@ def _normalize(rows, columns):
 # deterministic seed-42 sf0.01 corpus (the driver's comparison scale), so
 # they must be checked at sf0.01 — everything else runs at sf0.001 for speed.
 SF_DIR_PINNED = "/root/testdata/sf0.01"
-PINNED_SF01 = {"extract_summary", "extract_media_stats", "extract_then_dedup"}
+PINNED_SF01 = {
+    "extract_summary",
+    "extract_media_stats",
+    "extract_then_dedup",
+    "extract_funnel",
+}
 
 
 def _duck_con(sf_dir):
