@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_cosine_topk": lambda spark, sf: S.cosine_topk(_emb(spark, sf)),
         "similarity_lsh_topk": lambda spark, sf: S.lsh_bucketed_topk(_emb(spark, sf)),
         "similarity_ivf_topk": lambda spark, sf: S.ivf_topk(_emb(spark, sf)),
+        "similarity_quantized_topk": lambda spark, sf: S.quantized_cosine_topk(_emb(spark, sf)),
         "dedup_embedding_cosine": lambda spark, sf: S.embedding_near_dup_pairs(_emb(spark, sf)),
         "dedup_embedding_groups": lambda spark, sf: S.embedding_dedup_groups(_emb(spark, sf)),
         # text analysis
@@ -209,6 +210,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_cosine_topk": S.cosine_topk_oracle_sql(),
         "similarity_lsh_topk": S.lsh_bucketed_topk_oracle_sql(),
         "similarity_ivf_topk": S.ivf_topk_oracle_sql(),
+        "similarity_quantized_topk": S.quantized_cosine_topk_oracle_sql(),
         "dedup_embedding_cosine": S.embedding_near_dup_pairs_oracle_sql(),
         "dedup_embedding_groups": S.embedding_dedup_groups_oracle_sql(),
         "text_token_counts": TS.token_counts_oracle_sql(),

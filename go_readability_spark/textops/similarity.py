@@ -491,3 +491,111 @@ reach(vec_id, r) AS (
 SELECT vec_id, least(vec_id, min(r)) AS canonical_vec_id
 FROM reach GROUP BY vec_id ORDER BY vec_id
 """
+
+
+# ------------------------------------------------- int8 quantized ANN path
+# At 100 TB the ANN working set is memory-bound: int8 symmetric
+# quantization cuts vector bytes 4x.  Key property exploited here: with
+# per-vector scales s = max|v|/127, the scales cancel out of cosine —
+# cos(qa·sa, qb·sb) = Σqa·qb / (√Σqa² · √Σqb²) — so the quantized cosine
+# is EXACT integer arithmetic up to one final division, bit-stable across
+# engines with no float-fold ordering concerns.
+QUANT_LEVELS = 127
+
+# engine-neutral half-away-from-zero rounding (Spark round() and DuckDB
+# round() differ in edge semantics; this form is identical everywhere)
+_QROUND = (
+    "CASE WHEN {x} >= 0 THEN floor({x} + 0.5D) ELSE -floor(-({x}) + 0.5D) END"
+)
+
+
+def quantized_embeddings(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, qemb: array<int>): symmetric per-vector int8 quantization
+    (levels ±{QUANT_LEVELS}); zero vectors quantize to all-zero."""
+    max_abs = "aggregate(embedding, 0D, (acc, v) -> greatest(acc, abs(cast(v as double))))"
+    x = f"cast(v as double) * {QUANT_LEVELS} / ma"
+    return embeddings.selectExpr("vec_id", f"{max_abs} AS ma", "embedding").selectExpr(
+        "vec_id",
+        "CASE WHEN ma = 0D THEN transform(embedding, v -> 0) "
+        f"ELSE transform(embedding, v -> cast({_QROUND.format(x=x)} as int)) END AS qemb",
+    )
+
+
+def quantized_cosine_topk(
+    embeddings: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K
+) -> DataFrame:
+    """Exact top-k over int8-quantized vectors: integer dot products and
+    norms (BIGINT-safe), one final rounded division.  Same plan shape as
+    ``cosine_topk`` — broadcast query side, codegen'd scan, top-k window."""
+    q = quantized_embeddings(embeddings)
+    qs = q.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("qemb").alias("qa")
+    )
+    cs = q.filter(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("qemb").alias("qb")
+    )
+    dot = "aggregate(zip_with(qa, qb, (x, y) -> cast(x as bigint) * y), 0L, (acc, v) -> acc + v)"
+    nrm = "sqrt(aggregate({c}, 0L, (acc, v) -> acc + cast(v as bigint) * v))"
+    scored = (
+        F.broadcast(qs)
+        .crossJoin(cs)
+        .withColumn(
+            "qcosine",
+            F.round(
+                F.expr(dot) / (F.expr(nrm.format(c="qa")) * F.expr(nrm.format(c="qb"))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qcosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "qcosine")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _duck_qemb_cte() -> str:
+    x = f"CAST(v AS DOUBLE) * {QUANT_LEVELS} / ma"
+    qr = _QROUND.format(x=x).replace("0.5D", "0.5")
+    return f"""qe AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS ma,
+         embedding
+  FROM embeddings
+), quant AS (
+  SELECT vec_id,
+         CASE WHEN ma = 0 THEN list_transform(embedding, v -> 0)
+              ELSE list_transform(embedding, v -> CAST({qr} AS INTEGER)) END AS qemb
+  FROM qe
+)"""
+
+
+def quantized_cosine_topk_oracle_sql(
+    n_queries: int = N_QUERIES, k: int = TOP_K
+) -> str:
+    dot = (
+        "list_sum(list_transform(range(1, len(a.qemb) + 1),"
+        " i -> CAST(a.qemb[i] AS BIGINT) * b.qemb[i]))"
+    )
+    nrm = "sqrt(list_sum(list_transform({c}.qemb, v -> CAST(v AS BIGINT) * v)))"
+    qcos = (
+        f"CAST(round(CAST({dot} / ({nrm.format(c='a')} * {nrm.format(c='b')})"
+        " AS DECIMAL(28,12)), 6) AS DOUBLE)"
+    )
+    return f"""
+WITH {_duck_qemb_cte()},
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {qcos} AS qcosine
+  FROM quant a CROSS JOIN quant b
+  WHERE a.vec_id < {n_queries} AND b.vec_id >= {n_queries}
+), ranked AS (
+  SELECT query_id, neighbor_id, qcosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY qcosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, qcosine
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""

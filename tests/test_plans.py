@@ -28,6 +28,7 @@ CROSS_OK = {
     "similarity_cosine_topk",
     "similarity_lsh_topk",
     "similarity_ivf_topk",
+    "similarity_quantized_topk",
     "dedup_embedding_cosine",
     "dedup_embedding_groups",
 }
