@@ -104,6 +104,19 @@ def test_every_oracle_key_has_query():
         assert name in q
 
 
+# The wide per-article dump is the ONLY query allowed to be rows-only
+# (500 rows × free text; its values are covered by extract_summary /
+# extract_funnel digests).  Anything else added without an oracle twin
+# fails here — the driver gate must stay value-checked by default.
+ROWS_ONLY_OK = {"extract_articles"}
+
+
+def test_every_query_has_oracle_unless_allowlisted():
+    e = _entry()
+    missing = set(e.queries()) - set(e.oracle_sql()) - ROWS_ONLY_OK
+    assert not missing, f"queries without oracle twins: {sorted(missing)}"
+
+
 def test_multimodal_plumbing(spark):
     """decode path: media table with binary payloads → feature rows."""
     from go_readability_spark.textops.multimodal import (
