@@ -114,3 +114,38 @@ def test_streaming_exact_dedup_drops_within_horizon(spark, dirs):
     assert len(out) == 4
     assert len({r.fp for r in out}) == 4
     docs.unpersist()
+
+
+def test_streaming_dedup_state_survives_restart(spark, dirs):
+    """Duplicates arriving AFTER a checkpointed restart are still dropped:
+    the fingerprint state is restored from the checkpoint, not rebuilt."""
+    from go_readability_spark.streaming.dedup import streaming_exact_dedup
+    from go_readability_spark.streaming.incremental import read_document_stream
+
+    docs = fixture_documents(spark).limit(3).cache()
+    docs.write.mode("overwrite").parquet(dirs["input"])
+
+    def drain():
+        q = (
+            streaming_exact_dedup(read_document_stream(spark, dirs["input"]))
+            .selectExpr("doc_id", "fp")
+            .writeStream.format("parquet")
+            .option("path", dirs["output"])
+            .outputMode("append")
+            .option("checkpointLocation", dirs["checkpoint"] + "-r")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert spark.read.parquet(dirs["output"]).count() == 3
+
+    # wave 2: same content re-fed under new doc_ids, after restart
+    docs.selectExpr("concat(doc_id, '-v2') AS doc_id", "uri", "spans").write.mode(
+        "append"
+    ).parquet(dirs["input"])
+    drain()
+    # restored state drops every wave-2 duplicate: total output unchanged
+    assert spark.read.parquet(dirs["output"]).count() == 3
+    docs.unpersist()
