@@ -171,6 +171,16 @@ def _extract_then_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Queries whose oracles are PINNED CONSTANTS computed from the
+# deterministic sf0.01 corpus (the driver's comparison scale): exact there,
+# meaningless at any other sf.  tools/check_oracles.py and the test suite
+# key off this set.
+PINNED_SF_DIR = "/root/testdata/sf0.01"
+PINNED_ORACLES = frozenset(
+    {"extract_summary", "extract_media_stats", "extract_then_dedup", "extract_funnel"}
+)
+
+
 def _extract_funnel_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hygiene funnel over EXTRACTED article text (grouped by page
     language) — extraction feeding corpus hygiene, end-to-end."""

@@ -41,13 +41,10 @@ def _normalize(rows, columns):
 # Extraction-chained queries use pinned-constant oracles computed from the
 # deterministic seed-42 sf0.01 corpus (the driver's comparison scale), so
 # they must be checked at sf0.01 — everything else runs at sf0.001 for speed.
-SF_DIR_PINNED = "/root/testdata/sf0.01"
-PINNED_SF01 = {
-    "extract_summary",
-    "extract_media_stats",
-    "extract_then_dedup",
-    "extract_funnel",
-}
+import __spark_entry__ as _entry_mod
+
+SF_DIR_PINNED = _entry_mod.PINNED_SF_DIR
+PINNED_SF01 = _entry_mod.PINNED_ORACLES
 
 
 def _duck_con(sf_dir):

@@ -68,6 +68,14 @@ def main() -> int:
         if name not in oracles:
             print(f"{name:28s} rows-only: {len(srows)} rows (no oracle)")
             continue
+        if name in getattr(e, "PINNED_ORACLES", ()) and os.path.normpath(
+            sf_dir
+        ) != os.path.normpath(e.PINNED_SF_DIR):
+            print(
+                f"{name:28s} skip: pinned-constant oracle (exact at "
+                f"{e.PINNED_SF_DIR} only); ran {len(srows)} rows"
+            )
+            continue
         res = con.sql(oracles[name])
         drows = res.fetchall()
         dcols = [d[0] for d in res.description]
