@@ -109,3 +109,38 @@ def test_malformed_spans_become_error_rows(spark):
     # a tiny page has no article content → kernel's retry sieve gives best
     # attempt or no_article; both are data, not task failures
     assert rows["just-text"].status in ("ok", "no_article")
+
+
+def test_null_and_garbage_spans_degrade_gracefully(spark):
+    """Corruption shapes real 100 TB tables produce: null spans array,
+    null text inside a span, negative/duplicate offsets, null doc_id text.
+    All must yield status rows, never task failures."""
+    from go_readability_spark.spark.extract import extract_articles
+    from go_readability_spark.spark.schema import DOCUMENTS_SCHEMA
+
+    docs = spark.createDataFrame(
+        [
+            {"doc_id": "null-spans", "uri": None, "spans": None},
+            {
+                "doc_id": "null-text-span",
+                "uri": None,
+                "spans": [
+                    {"kind": "text", "text": None, "media_ref": None, "offset": 0},
+                    {"kind": "text", "text": "<p>ok</p>", "media_ref": "", "offset": 1},
+                ],
+            },
+            {
+                "doc_id": "negative-offsets",
+                "uri": None,
+                "spans": [
+                    {"kind": "text", "text": "<p>b</p>", "media_ref": "", "offset": -1},
+                    {"kind": "text", "text": "<p>a</p>", "media_ref": "", "offset": -2},
+                ],
+            },
+        ],
+        schema=DOCUMENTS_SCHEMA,
+    )
+    rows = {r.doc_id: r for r in extract_articles(docs).collect()}
+    assert len(rows) == 3
+    for r in rows.values():
+        assert r.status in ("ok", "no_article", "parse_error")
