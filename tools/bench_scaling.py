@@ -110,6 +110,11 @@ def main() -> None:
         "low/high run one level and cache it in --results-json",
     )
     ap.add_argument("--results-json", default="/tmp/bench_scaling_results.json")
+    ap.add_argument(
+        "--skip-probe-gate", action="store_true",
+        help="measure despite a degraded host probe (e.g. low-N runs that "
+        "fit inside the currently-available core budget)",
+    )
     args = ap.parse_args()
     if args.replicate is None:
         args.replicate = 100 if args.corpus_kind == "fixtures" else 54
@@ -141,7 +146,7 @@ def main() -> None:
         # N run would bias the selection toward the ≥0.8 gate instead of
         # merely controlling for steal.
         probe_before = host_probe_s()
-        if probe_before >= 2.0:
+        if probe_before >= 2.0 and not args.skip_probe_gate:
             print(json.dumps({
                 "metric": "scaling_efficiency_N_to_4N",
                 "aborted": "host degraded",
