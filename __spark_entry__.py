@@ -44,15 +44,32 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EXTRACTED_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+_EXTRACTED_CACHE_CAP = 2  # sf_dirs kept per live app (tests touch two)
+
+
 def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     from go_readability_spark.spark.corpus import synthesize_documents
     from go_readability_spark.spark.extract import route_and_extract
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    # Evict frames from dead sessions, and cap the live app's entries so a
+    # long-lived session sweeping many sf_dirs doesn't accumulate persisted
+    # frames forever (oldest-inserted displaced first).
+    for k in list(_EXTRACTED_CACHE):
+        if k[0] != app_id:
+            _EXTRACTED_CACHE.pop(k)  # owning session is gone; nothing to unpersist
+    key = (app_id, sf_dir)
     cached = _EXTRACTED_CACHE.get(key)
     if cached is None:
+        while len(_EXTRACTED_CACHE) >= _EXTRACTED_CACHE_CAP:
+            oldest = next(iter(_EXTRACTED_CACHE))
+            displaced = _EXTRACTED_CACHE.pop(oldest)
+            try:
+                displaced.unpersist()
+            except Exception:
+                pass
         cached = route_and_extract(synthesize_documents(spark, sf_dir)).persist(
             StorageLevel.MEMORY_AND_DISK
         )
@@ -177,8 +194,31 @@ def _extract_then_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 # key off this set.
 PINNED_SF_DIR = "/root/testdata/sf0.01"
 PINNED_ORACLES = frozenset(
-    {"extract_summary", "extract_media_stats", "extract_then_dedup", "extract_funnel"}
+    {
+        "extract_articles",
+        "extract_summary",
+        "extract_media_stats",
+        "extract_then_dedup",
+        "extract_funnel",
+    }
 )
+
+
+def _extract_articles_oracle_sql() -> str:
+    """Pinned 500-row VALUES oracle for the flagship query, generated from
+    the deterministic sf0.01 corpus by tools/pin_extract_articles_oracle.py
+    — the kernel itself is pinned by the 119/119 golden suite; this pins
+    the kernel-through-Spark value path per row."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tools",
+        "oracles",
+        "extract_articles_sf001.sql",
+    )
+    with open(path, encoding="utf-8") as f:
+        return f.read()
 
 
 def _extract_funnel_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -234,8 +274,7 @@ def oracle_sql() -> dict[str, str]:
         # data; the kernel is pinned by the 119/119 golden suite).  The
         # driver compares at sf0.01 only, so the constants are exact there;
         # tests/test_textops.py checks these same keys at sf0.01 too.
-        # extract_articles itself (500 wide rows) stays rows-only; its
-        # values are covered transitively by extract_summary.
+        "extract_articles": _extract_articles_oracle_sql(),
         "extract_summary": """
 SELECT * FROM (VALUES
   ('ok', CAST(500 AS BIGINT), CAST(468373 AS BIGINT), CAST(173 AS BIGINT),

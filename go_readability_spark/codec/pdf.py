@@ -4,9 +4,10 @@ The north rule's extraction surface includes "PDF/layout parse" alongside
 HTML boilerplate stripping.  This module handles the common simple case
 end-to-end with no third-party dependency: uncompressed or FlateDecode
 content streams, BT..ET text blocks, ``Tj`` / ``'`` / ``TJ`` show-text
-operators with PDF string escapes, page-ordered.  Anything richer
-(CID-keyed fonts, ToUnicode CMaps, encrypted files, object streams) is out
-of scope here — pass a production extractor (pypdf/pdfminer) through the
+operators over both literal ``(...)`` strings (with PDF escapes) and hex
+``<...>`` strings (one-byte character codes), page-ordered.  Anything
+richer (CID-keyed/Type0 fonts whose hex strings are 2-byte CIDs needing a
+ToUnicode CMap, encrypted files, object streams) is out of scope here — pass a production extractor (pypdf/pdfminer) through the
 ``real_extract`` hook of ``spark.corpus.ingest_pdf_documents`` and the
 Spark-side plumbing is unchanged.
 
@@ -24,8 +25,12 @@ _STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)endstream", re.DOTALL)
 _TEXT_BLOCK_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
 # (string) Tj   |   (string) '   |   [ ...(s1)...(s2)... ] TJ
 _TJ_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*(?:Tj|')")
+# <hexdigits> Tj — one-byte character codes (simple fonts); CID-keyed
+# two-byte codes need a ToUnicode CMap and go through ``real_extract``
+_TJ_HEX_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>\s*(?:Tj|')")
 _TJ_ARRAY_RE = re.compile(rb"\[((?:[^\]\\]|\\.)*)\]\s*TJ", re.DOTALL)
 _STR_IN_ARRAY_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)")
+_HEX_IN_ARRAY_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>")
 
 _ESCAPES = {
     b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
@@ -44,9 +49,11 @@ def _unescape(raw: bytes) -> str:
                 out += _ESCAPES[nxt]
                 i += 2
                 continue
-            if nxt.isdigit():  # \ddd octal (1-3 digits)
+            if nxt in b"01234567":  # \ddd octal (1-3 OCTAL digits; \8, \9
+                # are not octal — bytes.isdigit would accept them and blow
+                # up int(..., 8), so scan 0-7 only)
                 j = i + 1
-                while j < min(i + 4, n) and raw[j : j + 1].isdigit():
+                while j < min(i + 4, n) and raw[j : j + 1] in b"01234567":
                     j += 1
                 out.append(int(raw[i + 1 : j], 8) & 0xFF)
                 i = j
@@ -56,6 +63,19 @@ def _unescape(raw: bytes) -> str:
         out += c
         i += 1
     return out.decode("latin-1")
+
+
+def _unhex(raw: bytes) -> str:
+    """<...> hex string → text, one byte per 2 hex digits (whitespace
+    ignored, odd trailing digit padded with 0 per the PDF spec §7.3.4.3).
+    Latin-1 byte decode — correct for simple (1-byte-code) fonts only."""
+    digits = re.sub(rb"\s+", b"", raw)
+    if len(digits) % 2:
+        digits += b"0"
+    try:
+        return bytes.fromhex(digits.decode("ascii")).decode("latin-1")
+    except ValueError:
+        return ""
 
 
 def _content_streams(pdf: bytes) -> list[bytes]:
@@ -85,13 +105,23 @@ def pdf_to_text_lines(pdf: bytes) -> list[str]:
             taken: list[tuple[int, str]] = []
             consumed: list[tuple[int, int]] = []
             for m in _TJ_ARRAY_RE.finditer(body):
-                parts = [_unescape(s.group(1)) for s in _STR_IN_ARRAY_RE.finditer(m.group(1))]
-                taken.append((m.start(), "".join(parts)))
+                parts = [
+                    (s.start(), _unescape(s.group(1)))
+                    for s in _STR_IN_ARRAY_RE.finditer(m.group(1))
+                ] + [
+                    (s.start(), _unhex(s.group(1)))
+                    for s in _HEX_IN_ARRAY_RE.finditer(m.group(1))
+                ]
+                taken.append((m.start(), "".join(t for _, t in sorted(parts))))
                 consumed.append((m.start(), m.end()))
             for m in _TJ_RE.finditer(body):
                 if any(a <= m.start() < b for a, b in consumed):
                     continue
                 taken.append((m.start(), _unescape(m.group(1))))
+            for m in _TJ_HEX_RE.finditer(body):
+                if any(a <= m.start() < b for a, b in consumed):
+                    continue
+                taken.append((m.start(), _unhex(m.group(1))))
             for _, text in sorted(taken):
                 if text:
                     lines.append(text)

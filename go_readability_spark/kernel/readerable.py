@@ -82,7 +82,9 @@ def is_probably_readerable(html_source: str, options: Options | None = None) -> 
             continue
         if _has_li_p(n):
             continue
-        text_content_length = len(n.get_text_content().strip())
+        # Go len(string) counts UTF-8 BYTES (readerable.go:94), not code
+        # points — matters for non-ASCII text near the 140-char threshold.
+        text_content_length = len(n.get_text_content().strip().encode("utf-8"))
         if text_content_length < opts.min_content_length:
             continue
         score += math.sqrt(text_content_length - opts.min_content_length)

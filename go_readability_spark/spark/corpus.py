@@ -22,6 +22,7 @@ document is a mega-doc (content ×64) to exercise skew routing.
 from __future__ import annotations
 
 import os
+from html import escape as html_escape
 from typing import Iterator
 
 import pandas as pd
@@ -224,14 +225,19 @@ def _pdf_batches(real_extract):
                 lines = extract(payload)
                 # page scaffolding: the kernel extracts from doc.body, so a
                 # text layer must arrive as a well-formed page, one span per
-                # source line (the layout unit PDF gives us)
+                # source line (the layout unit PDF gives us).  Lines are
+                # HTML-escaped: PDF text is data, not markup — '<', '>', '&'
+                # in a line (e.g. "a < b", "AT&T") must survive the kernel
+                # parse verbatim instead of being read as tags.
                 pieces = ["<html><body>"]
-                pieces += [f"<p>{line}</p>" for line in lines]
+                pieces += [f"<p>{html_escape(line)}</p>" for line in lines]
                 pieces.append("</body></html>")
                 spans, off = [], 0
                 for piece in pieces:
+                    # kind "markup" matches html_to_spans' vocabulary for
+                    # non-media raw-HTML spans (codec/spans.py:76)
                     spans.append(
-                        {"kind": "text", "text": piece, "media_ref": "", "offset": off}
+                        {"kind": "markup", "text": piece, "media_ref": "", "offset": off}
                     )
                     off += len(piece)
                 out.append(

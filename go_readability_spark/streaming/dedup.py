@@ -9,10 +9,15 @@ watermark horizon is dropped, fingerprints older than the horizon are
 evicted from state.  Crawl re-fetch duplicates cluster in time, so a
 horizon of hours catches them while state stays O(arrival rate × horizon).
 
-The fingerprint is computed JVM-side from the reassembled span text (the
-same md5(lower+whitespace-collapse) canonicalization as the batch operator
-and its DuckDB oracle), so batch and streaming agree on what "duplicate"
-means.
+The fingerprint is computed JVM-side from the reassembled span text with
+the same md5(lower+whitespace-collapse) canonicalization *recipe* as the
+batch operator (textops/dedup.py:34) and its DuckDB oracle.  The inputs
+differ by design: batch fingerprints a plain ``text`` column, streaming
+fingerprints the raw reassembled document (markup included) because the
+stream arrives pre-extraction — two docs identical in text but differing
+in markup are batch-duplicates but not stream-duplicates.  To dedup
+streams on *extracted* text, run extraction in ``foreachBatch`` first and
+feed the result through the batch operator.
 """
 
 from __future__ import annotations

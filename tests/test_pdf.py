@@ -45,6 +45,82 @@ def test_pdf_text_lines_raw_and_flate():
         ], (flate, lines)
 
 
+def test_pdf_hex_strings():
+    """Hex show-text operators: <...> Tj / ' and hex parts inside TJ
+    arrays, whitespace-tolerant, odd-digit padded (PDF spec §7.3.4.3)."""
+    content = (
+        b"BT <48656C6C6F> Tj ET\n"                       # 'Hello'
+        b"BT [(mix ) <414220> (done)] TJ ET\n"           # 'mix AB  done'? -> 'mix AB done'
+        b"BT <4 86 9> ' ET\n"                            # whitespace inside hex: 'Hi'
+        b"BT <5859 5A7> Tj ET\n"                         # odd digit padded: 'XYZp'
+    )
+    lines = pdf_to_text_lines(_minimal_pdf(content))
+    assert lines == ["Hello", "mix AB done", "Hi", "XYZp"]
+
+
+def test_pdf_malformed_escape_degrades_gracefully():
+    r"""\8 / \9 are not octal digits: the backslash is dropped and the
+    character kept, instead of ValueError killing the Spark task."""
+    lines = pdf_to_text_lines(_minimal_pdf(b"BT (bad\\8esc \\9) Tj ET"))
+    assert lines == ["bad8esc 9"]
+
+
+def test_pdf_cid_font_goes_through_real_extract_hook(spark):
+    """CID-keyed (Type0) fonts are outside the stdlib codec's envelope:
+    their hex strings are 2-byte CIDs that need a ToUnicode CMap, so the
+    built-in decode produces control-char garbage.  Production parsing
+    arrives through the ``real_extract`` hook; the Spark plumbing
+    (mapInPandas, span encoding, kernel) is identical."""
+    from go_readability_spark.spark.corpus import ingest_pdf_documents
+
+    # <00480069> = CIDs 0x0048,0x0069 ("Hi" under an identity CMap) — the
+    # 1-byte decode yields '\x00H\x00i', demonstrating the envelope edge
+    cid_content = b"BT /F0 12 Tf <00480069> Tj ET"
+    pdf = _minimal_pdf(cid_content, flate=True)
+    assert pdf_to_text_lines(pdf) == ["\x00H\x00i"]  # in-envelope byte decode
+
+    df = spark.createDataFrame(
+        [("cid-1", bytearray(pdf))], "doc_id string, payload binary"
+    )
+    docs = ingest_pdf_documents(
+        df, real_extract=lambda payload: ["Hi from the CMap-aware extractor"]
+    )
+    texts = [s.text for s in docs.collect()[0].spans]
+    assert "<p>Hi from the CMap-aware extractor</p>" in texts
+
+
+def test_pdf_markup_chars_in_lines_are_data_not_tags(spark):
+    """A text line containing '<', '>', '&' (or tag-like text) must reach
+    the kernel as DATA: escaped into the <p> scaffold, surviving to the
+    extracted text instead of being parsed as markup."""
+    from go_readability_spark.spark.corpus import ingest_pdf_documents
+    from go_readability_spark.spark.extract import extract_articles
+
+    tricky = [
+        b"Comparing totals shows a < b for AT&T customers in every region tested.",
+        b"The literal sequence </body> appears here as text and must not truncate.",
+    ]
+    filler = [
+        b"Paragraph %d of the body, full of readable words that the scorer "
+        b"keeps together in the article, with commas, and enough length to "
+        b"score well." % i
+        for i in range(10)
+    ]
+    content = b"".join(b"BT (%s) Tj ET\n" % line for line in tricky + filler)
+    df = spark.createDataFrame(
+        [("esc-1", bytearray(_minimal_pdf(content, flate=True)))],
+        "doc_id string, payload binary",
+    )
+    docs = ingest_pdf_documents(df)
+    spans = docs.collect()[0].spans
+    assert all(s.kind == "markup" for s in spans)  # html_to_spans vocabulary
+    art = extract_articles(docs).collect()[0]
+    assert art.status == "ok"
+    assert "a < b for AT&T customers" in art.text_content
+    assert "</body> appears here as text" in art.text_content
+    assert "Paragraph 9 of the body" in art.text_content  # nothing truncated
+
+
 def test_pdf_garbage_and_empty():
     assert pdf_to_text_lines(b"") == []
     assert pdf_to_text_lines(b"not a pdf at all") == []
