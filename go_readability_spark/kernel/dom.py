@@ -627,6 +627,14 @@ class _DOMBuilder(_HTMLParser):
         super().clear_cdata_mode()
         self.interesting = _INTERESTING_LT
 
+    def updatepos(self, i: int, j: int) -> int:
+        # Line/column tracking is only consumed by getpos() (error
+        # reporting), which this builder never calls — but the base
+        # implementation counts newlines over every consumed token span,
+        # a measurable share of tokenizer time on large pages.  Skip it;
+        # callers only need the advanced cursor.
+        return j
+
     # -- text buffering ------------------------------------------------------
 
     def handle_data(self, data: str) -> None:

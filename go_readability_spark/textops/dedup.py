@@ -466,7 +466,14 @@ def simhash_docs(documents: DataFrame) -> DataFrame:
     (per-word hash = first {SIMHASH_HEX_CHARS} md5 hex chars → BIGINT) —
     pure map-side codegen'd expressions, no shuffle."""
     # bit test via shiftright, not division: h / 2^j is DOUBLE division in
-    # Spark SQL and silently loses low bits past the 53-bit mantissa
+    # Spark SQL and silently loses low bits past the 53-bit mantissa.
+    # DELIBERATELY {SIMHASH_BITS} separate bit-sum columns, NOT one nested
+    # higher-order expression: ``hs`` is referenced {SIMHASH_BITS} times
+    # here, which blocks CollapseProject from inlining the md5-per-word
+    # transform into each bit lambda — a single-reference rewrite gets
+    # collapsed and recomputes the md5 pass once PER BIT (measured 9×
+    # slower at sf0.1).  The per-bit integer sums are order-independent,
+    # matching the DuckDB oracle's list_sum exactly.
     bit_sums = [
         "aggregate(hs, 0L, (acc, h) -> acc + "
         f"(CASE WHEN (shiftright(h, {j}) & 1) = 1 THEN 1 ELSE -1 END))"
@@ -552,11 +559,13 @@ def simhash_near_dup_pairs(
         f"{j}, shiftright(simhash, {j * SIMHASH_BAND_BITS}) & {_BAND_MASK}"
         for j in range(SIMHASH_BANDS)
     )
+    # persist: both sides of the band self-join read this subtree — without
+    # it the md5-per-word fingerprint pass runs twice
     banded = fp.selectExpr(
         "doc_id",
         "simhash",
         f"stack({SIMHASH_BANDS}, {band_args}) AS (band_idx, band_val)",
-    )
+    ).persist()
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

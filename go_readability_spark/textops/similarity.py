@@ -126,30 +126,42 @@ FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 
 
 # ------------------------------------------------------- LSH signature/bands
-def _sig_dots_spark() -> list[str]:
-    """One codegen'd dot-product expression per hyperplane (zip_with over
-    the full embedding, sequential left fold — matches DuckDB)."""
-    exprs = []
-    for p, plane in enumerate(_PLANES):
-        consts = ", ".join(f"{c}D" for c in plane)
-        exprs.append(
-            f"aggregate(zip_with(embedding, array({consts}),"
-            f" (x, c) -> cast(x as double) * c), 0D, (acc, v) -> acc + v) AS d{p}"
-        )
-    return exprs
+def _plane_masks() -> list[int]:
+    """Each ±1 hyperplane packed into one signed 64-bit literal (bit i set
+    ⇔ plane[i] == +1, two's complement for Spark's signed BIGINT)."""
+    masks = []
+    for plane in _PLANES:
+        m = sum(1 << i for i, c in enumerate(plane) if c == 1)
+        masks.append(m - (1 << 64) if m >= (1 << 63) else m)
+    return masks
 
 
 def _sig_expr_spark() -> str:
-    return " + ".join(
-        f"(CASE WHEN d{p} >= 0 THEN {1 << p} ELSE 0 END)" for p in range(EMB_PLANES)
+    """ALL plane dots in one tiny expression.  The planes are ±1, so each
+    is a 64-bit sign MASK literal and the dot is a conditional-sign fold:
+    ``CASE WHEN bit i of mask THEN +x ELSE -x`` — addend values and the
+    sequential left-fold order are IDENTICAL to the explicit ±1-array form
+    the DuckDB oracle keeps, so signatures stay bit-for-bit equal.  The r2
+    shape (16 independent aggregate(zip_with(embedding, array(<64 double
+    literals>), ...)) projections) spent its bench budget in analysis +
+    Janino codegen of the 1k-literal tree, not compute (3.5s cold vs 0.25s
+    of work at sf0.1); 16 bigint literals plan in milliseconds."""
+    masks = ", ".join(f"{m}L" for m in _plane_masks())
+    weights = ", ".join(f"{1 << p}L" for p in range(EMB_PLANES))
+    return (
+        f"aggregate(zip_with(transform(array({masks}), m ->"
+        f" aggregate(zip_with(embedding, sequence(0, {EMB_DIM - 1}), (x, i) ->"
+        " CASE WHEN (shiftright(m, i) & 1) = 1 THEN cast(x as double)"
+        " ELSE -cast(x as double) END), 0D, (acc, v) -> acc + v)),"
+        f" array({weights}), (d, w) -> CASE WHEN d >= 0D THEN w ELSE 0L END),"
+        " 0L, (acc, v) -> acc + v)"
     )
 
 
 def lsh_signatures(embeddings: DataFrame) -> DataFrame:
     """(vec_id, sig): {EMB_PLANES}-bit random-hyperplane signature —
     pure map-side expressions, no shuffle."""
-    dots = embeddings.selectExpr("vec_id", *_sig_dots_spark())
-    return dots.selectExpr("vec_id", f"({_sig_expr_spark()}) AS sig")
+    return embeddings.selectExpr("vec_id", f"{_sig_expr_spark()} AS sig")
 
 
 def _banded(embeddings: DataFrame) -> DataFrame:
@@ -455,16 +467,25 @@ FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 
 # -------------------------------------------------- embedding dedup groups
 def embedding_dedup_groups(
-    embeddings: DataFrame, threshold: float = NEAR_DUP_THRESHOLD
+    embeddings: DataFrame,
+    threshold: float = NEAR_DUP_THRESHOLD,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Connected components over the embedding near-dup pair graph →
     (vec_id, canonical_vec_id) per vector in a near-dup cluster: the
     embedding-space twin of ``dedup.dedup_groups`` (same min-label
     propagation core, same scale shape — the frontier is only vectors
-    appearing in some pair)."""
+    appearing in some pair).
+
+    Pass ``pairs`` (an ``embedding_near_dup_pairs`` frame, ideally
+    persisted) to reuse an already-built graph instead of re-running the
+    LSH band join — a pipeline computing both the pair list and the groups
+    builds the graph once."""
     from .dedup import connected_components
 
-    pairs = embedding_near_dup_pairs(embeddings, threshold).select(
+    if pairs is None:
+        pairs = embedding_near_dup_pairs(embeddings, threshold)
+    pairs = pairs.select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
     return connected_components(pairs).select(
