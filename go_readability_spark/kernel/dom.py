@@ -306,9 +306,9 @@ class Node:
     # -- attributes (ordered, last-write-wins lookup; domparser.go:742-785) --
 
     def get_attribute(self, name: str) -> str:
-        for i in range(len(self.attributes) - 1, -1, -1):
-            if self.attributes[i][0] == name:
-                return self.attributes[i][1]
+        for attr in reversed(self.attributes):
+            if attr[0] == name:
+                return attr[1]
         return ""
 
     def set_attribute(self, name: str, value: str) -> None:
@@ -411,23 +411,22 @@ class Node:
             if not self._tc_dirty:
                 return self._tc_cache
             parts: list[str] = []
-            stack = [iter(self.child_nodes)]
+            append = parts.append
+            stack = list(reversed(self.child_nodes))
+            pop = stack.pop
+            extend = stack.extend
             while stack:
-                it = stack[-1]
-                child = next(it, None)
-                if child is None:
-                    stack.pop()
-                    continue
+                child = pop()
                 if child.node_type == TEXT_NODE:
                     tc = child._text_content
                     if tc is None:
                         tc = child._text_content = decode_html(child._inner_html or "")
-                    parts.append(tc)
+                    append(tc)
                 elif child.child_nodes:
                     if not child._tc_dirty:
-                        parts.append(child._tc_cache)
-                        continue
-                    stack.append(iter(child.child_nodes))
+                        append(child._tc_cache)
+                    else:
+                        extend(reversed(child.child_nodes))
             text = "".join(parts)
             self._tc_cache = text
             self._tc_dirty = False
@@ -661,11 +660,25 @@ class _DOMBuilder(_HTMLParser):
 
     # -- structural events -----------------------------------------------------
 
+    @staticmethod
+    def _build_attrs(node: Node, attrs: list[tuple[str, str | None]]) -> None:
+        # set_attribute semantics (first-position, last-value-wins on dup
+        # names, domparser.go:762-770) without per-attr method dispatch
+        alist = node.attributes
+        for name, value in attrs:
+            v = value if value is not None else ""
+            for attr in alist:
+                if attr[0] == name:
+                    attr[1] = v
+                    break
+            else:
+                alist.append([name, v])
+
     def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
         self._flush_text()
         node = new_element(tag)
-        for name, value in attrs:
-            node.set_attribute(name, value if value is not None else "")
+        if attrs:
+            self._build_attrs(node, attrs)
         self.stack[-1]._append_fast(node)
         # Bare start tags always open a scope -- even void elements
         # (domparser_test.go:357-367).
@@ -674,8 +687,8 @@ class _DOMBuilder(_HTMLParser):
     def handle_startendtag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
         self._flush_text()
         node = new_element(tag)
-        for name, value in attrs:
-            node.set_attribute(name, value if value is not None else "")
+        if attrs:
+            self._build_attrs(node, attrs)
         self.stack[-1]._append_fast(node)
         self._finish_element(node)
 

@@ -95,6 +95,8 @@ def _go_atoi(s: str) -> int:
 
 def is_probably_visible(n: Node) -> bool:
     """Style/hidden/aria-hidden visibility gate (readability.go:2159-2165)."""
+    if not n.attributes:  # every check below reads attributes; no attrs ⇒ visible
+        return True
     if n.get_style("display") == "none":
         return False
     if n.get_style("visibility") == "hidden":
@@ -564,7 +566,8 @@ class Readability:
                 if n.tag_name == "HTML":
                     self.article_lang = n.get_attribute("lang")
 
-                match_string = n.class_name + " " + n.id
+                # class+id scan only when the node has attributes at all
+                match_string = (n.class_name + " " + n.id) if n.attributes else " "
 
                 if not is_probably_visible(n):
                     n = self._remove_and_get_next(n)
@@ -1072,10 +1075,15 @@ class Readability:
             for n in element.child_nodes
         )
 
+    @staticmethod
+    def _is_blank(s: str) -> bool:
+        # == len(s.strip()) == 0, without the O(n) stripped copy
+        return not s or s.isspace()
+
     def _is_element_without_content(self, n: Node) -> bool:
         return (
             n.node_type == ELEMENT_NODE
-            and len(n.get_text_content().strip()) == 0
+            and self._is_blank(n.get_text_content())
             and (
                 len(n.children) == 0
                 or len(n.children)
@@ -1098,7 +1106,7 @@ class Readability:
 
     def _is_whitespace(self, n: Node) -> bool:
         return (
-            n.node_type == TEXT_NODE and len(n.get_text_content().strip()) == 0
+            n.node_type == TEXT_NODE and self._is_blank(n.get_text_content())
         ) or (n.node_type == ELEMENT_NODE and n.tag_name == "BR")
 
     # -- text metrics (readability.go:1675-1733,1988-2000) ------------------------------
