@@ -136,6 +136,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_scores": lambda spark, sf: TS.quality_scores(_docs(spark, sf)),
         "text_langid": lambda spark, sf: TS.langid(_docs(spark, sf)),
         "text_fingerprints": lambda spark, sf: TS.fingerprints(_docs(spark, sf)),
+        "text_decontaminate": lambda spark, sf: TS.decontaminate(_docs(spark, sf)),
+        "text_stratified_sample": lambda spark, sf: TS.stratified_sample(_docs(spark, sf)),
+        "text_vocab_topk": lambda spark, sf: TS.vocab_topk(_docs(spark, sf)),
         "training_corpus_funnel": lambda spark, sf: TS.training_corpus_funnel(_docs(spark, sf)),
         # extraction surface (non-SQL-expressible: kernel inside mapInPandas;
         # correctness gated by the 119-fixture golden suite under pytest, and
@@ -285,6 +288,9 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_scores": TS.quality_scores_oracle_sql(),
         "text_langid": TS.langid_oracle_sql(),
         "text_fingerprints": TS.fingerprints_oracle_sql(),
+        "text_decontaminate": TS.decontaminate_oracle_sql(),
+        "text_stratified_sample": TS.stratified_sample_oracle_sql(),
+        "text_vocab_topk": TS.vocab_topk_oracle_sql(),
         "training_corpus_funnel": TS.training_corpus_funnel_oracle_sql(),
         # The kernel is not SQL-expressible, so the extraction-chained
         # queries get PINNED-CONSTANT oracles: expected values computed once

@@ -183,6 +183,153 @@ FUNNEL_MIN_WORDS = 30
 FUNNEL_MIN_STOPWORD_BP = 500  # ≥5% stopwords ≈ "looks like English prose"
 
 
+# Benchmark-decontamination parameters: probe n-grams are word-{DECON_K}
+# shingles; the synthetic "benchmark set" is derived deterministically from
+# the corpus (the opening shingle of every {DECON_PROBE_MOD}th doc), which
+# stands in for eval-set strings without external data.
+DECON_K = 8
+DECON_PROBE_MOD = 50
+DECON_PROBE_REM = 7
+
+
+def decontaminate(documents: DataFrame) -> DataFrame:
+    """Benchmark decontamination: find documents sharing any word-{DECON_K}
+    n-gram with the benchmark probe set → (doc_id, n_contaminated) for
+    contaminated docs.
+
+    Scale shape: the probe set is small (one n-gram hash per benchmark
+    entry) and BROADCAST; document shingle hashes are a map-side explode,
+    so the join never shuffles the corpus — only matched shingles reach
+    the per-doc count.  This is the decontamination pass a pretraining
+    pipeline runs against held-out eval sets.
+    """
+    w = documents.select("doc_id", F.split(F.col("text"), " ").alias("w")).filter(
+        F.size("w") >= DECON_K
+    )
+    shingles = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(w) - {DECON_K}),"
+                f" i -> md5(concat_ws(' ', slice(w, i + 1, {DECON_K}))))"
+            )
+        ).alias("h"),
+    )
+    probes = (
+        w.filter((F.col("doc_id") % DECON_PROBE_MOD) == DECON_PROBE_REM)
+        .select(F.expr(f"md5(concat_ws(' ', slice(w, 1, {DECON_K})))").alias("h"))
+        .distinct()
+    )
+    return (
+        shingles.join(F.broadcast(probes), "h")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("h").alias("n_contaminated"))
+        .orderBy("doc_id")
+    )
+
+
+def decontaminate_oracle_sql() -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= {DECON_K}
+), sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, len(w) - {DECON_K} + 1),
+                               i -> md5(array_to_string(w[i + 1 : i + {DECON_K}], ' ')))) AS h
+  FROM w
+), probes AS (
+  SELECT DISTINCT md5(array_to_string(w[1 : {DECON_K}], ' ')) AS h
+  FROM w WHERE doc_id % {DECON_PROBE_MOD} = {DECON_PROBE_REM}
+)
+SELECT s.doc_id, count(DISTINCT s.h) AS n_contaminated
+FROM sh s JOIN probes p USING (h)
+GROUP BY s.doc_id ORDER BY s.doc_id
+"""
+
+
+# Deterministic hash-sampling rate (percent).  md5-derived uniform, so the
+# sample is stable across engines, partitionings, and reruns — the property
+# a training pipeline needs for reproducible corpus subsets.
+SAMPLE_PCT = 20
+
+
+def stratified_sample(documents: DataFrame) -> DataFrame:
+    """Per-source deterministic {SAMPLE_PCT}% sample rollup: every doc is
+    kept iff its md5-hash bucket (mod 100) falls under the rate — a pure
+    map-side filter with one low-cardinality rollup shuffle, the
+    reproducible-sampling stage of a training pipeline (no rand(), which
+    would differ per engine, partitioning, and rerun)."""
+    flagged = documents.select(
+        "source",
+        F.size(F.split(F.col("text"), " ")).alias("n_words"),
+        (
+            F.expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)")
+            % 100
+            < SAMPLE_PCT
+        ).alias("keep"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_sampled"),
+            F.sum(F.when(F.col("keep"), F.col("n_words")).otherwise(F.lit(0)).cast("long")).alias(
+                "sampled_tokens"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def stratified_sample_oracle_sql() -> str:
+    return f"""
+WITH flagged AS (
+  SELECT source,
+         len(string_split(text, ' ')) AS n_words,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100)
+           < {SAMPLE_PCT} AS keep
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST(sum(CASE WHEN keep THEN n_words ELSE 0 END) AS BIGINT) AS sampled_tokens
+FROM flagged GROUP BY source ORDER BY source
+"""
+
+
+VOCAB_TOP_K = 20
+
+
+def vocab_topk(documents: DataFrame) -> DataFrame:
+    """Top-{VOCAB_TOP_K} words by document frequency — the vocabulary /
+    tokenizer-training precursor.  Per-doc distinct words explode map-side,
+    the only wide shuffle is the word-count aggregation (high-cardinality
+    key, map-side partial agg); ties break lexicographically so the limit
+    is deterministic."""
+    df = (
+        documents.select(
+            F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("word"))
+        .limit(VOCAB_TOP_K)
+    )
+    return df
+
+
+def vocab_topk_oracle_sql() -> str:
+    return f"""
+SELECT word, count(*) AS doc_freq
+FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+      FROM documents)
+GROUP BY word
+ORDER BY doc_freq DESC, word ASC
+LIMIT {VOCAB_TOP_K}
+"""
+
+
 def training_corpus_funnel(documents: DataFrame) -> DataFrame:
     """The whole corpus-hygiene funnel as ONE query: exact dedup (md5
     fingerprint, min-doc_id survivor) → quality + language gates
