@@ -71,6 +71,24 @@ def test_pushdown_reaches_scan(spark):
     assert "LessThan(vec_id,8)" in plan
 
 
+def test_decontaminate_broadcasts_probes(spark):
+    """The benchmark probe set must be the broadcast side (the corpus
+    never shuffles to meet it) and the probe filter must reach its scan."""
+    e = _entry()
+    plan = _plan(e.queries()["text_decontaminate"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "% 50) = 7" in plan  # probe-side filter pushed to the scan
+
+
+def test_vocab_topk_uses_partial_topk(spark):
+    """Top-k must be TakeOrderedAndProject (per-partition partial top-k),
+    never a global sort, and the scan pruned to the text column."""
+    e = _entry()
+    plan = _plan(e.queries()["text_vocab_topk"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "doc_id" not in plan.split("ReadSchema")[-1]
+
+
 def test_extraction_scan_is_pruned(spark):
     """The extraction operator must read only doc_id/spans/uri, whatever
     else the table carries (column pruning through mapInPandas)."""
