@@ -464,20 +464,29 @@ class Node:
                 out.append(item)
                 continue
             child = item
-            if child.local_name:
-                out.append("<" + child.local_name)
+            local = child.local_name
+            if local:
+                out.append("<" + local)
                 for name, value in child.attributes:
                     val = encode_html(value)
                     quote = "'" if '"' in val else '"'
                     out.append(" " + name + "=" + quote + val + quote)
-                if child.local_name in VOID_ELEMS and not child.child_nodes:
+                if local in VOID_ELEMS and not child.child_nodes:
                     out.append("/>")
                 else:
                     out.append(">")
-                    stack.append("</" + child.local_name + ">")
+                    stack.append("</" + local + ">")
                     stack.extend(reversed(child.child_nodes))
             else:
-                out.append(child.get_inner_html())
+                # text node (or childless non-element): inline the TEXT_NODE
+                # branch of get_inner_html — one method call per text node
+                # is a measurable share of serializer time
+                ih = child._inner_html
+                if ih is None:
+                    ih = child._inner_html = encode_text_content_html(
+                        child._text_content or ""
+                    )
+                out.append(ih)
         return "".join(out)
 
     def set_inner_html(self, html: str) -> None:
