@@ -1,5 +1,6 @@
 """spark-submit entry point for the corpus-hygiene stage: extracted
-articles → training-corpus funnel + near-dup candidate pairs.
+articles → training-corpus funnel + near-dup candidate pairs +
+benchmark decontamination + deterministic sample manifest.
 
 Runs downstream of extract_job.py over its articles/ output (or any table
 with (doc_id, source, text) columns — pass --text-col/--source-col to
@@ -8,7 +9,8 @@ remap).  Cluster deployment mirrors extract_job.py:
     spark-submit --py-files dist/go_readability_spark.zip \
         jobs/hygiene_job.py \
         --input <articles root or documents table> \
-        --output <output root: funnel/ dup_pairs/ dup_groups/>
+        --output <output root: funnel/ dup_pairs/ dup_groups/
+                  contaminated/ sample_manifest/>
 
 Local smoke run:
 
@@ -39,7 +41,11 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from go_readability_spark.textops.dedup import dedup_groups, lsh_candidate_pairs
-    from go_readability_spark.textops.textstats import training_corpus_funnel
+    from go_readability_spark.textops.textstats import (
+        decontaminate,
+        stratified_sample,
+        training_corpus_funnel,
+    )
 
     if args.local_cpus:
         from go_readability_spark.spark.session import build_session
@@ -66,9 +72,23 @@ def main() -> None:
         groups = dedup_groups(docs)
         groups.write.mode("overwrite").parquet(os.path.join(args.output, "dup_groups"))
 
+    # benchmark decontamination (broadcast probe set) + the reproducible
+    # per-source sample manifest — the remaining gates a training pipeline
+    # applies before corpus assembly
+    decontaminate(docs).write.mode("overwrite").parquet(
+        os.path.join(args.output, "contaminated")
+    )
+    stratified_sample(docs).write.mode("overwrite").parquet(
+        os.path.join(args.output, "sample_manifest")
+    )
+
     n_funnel = spark.read.parquet(os.path.join(args.output, "funnel")).count()
     n_pairs = spark.read.parquet(os.path.join(args.output, "dup_pairs")).count()
-    print(f"hygiene: {n_funnel} funnel rows, {n_pairs} candidate pairs -> {args.output}")
+    n_cont = spark.read.parquet(os.path.join(args.output, "contaminated")).count()
+    print(
+        f"hygiene: {n_funnel} funnel rows, {n_pairs} candidate pairs, "
+        f"{n_cont} contaminated docs -> {args.output}"
+    )
     spark.stop()
 
 

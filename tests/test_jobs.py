@@ -78,7 +78,7 @@ def test_mega_doc_routes_and_extracts(spark):
 
 def test_hygiene_job_end_to_end():
     """hygiene_job over the sf0.001 documents table writes funnel,
-    dup_pairs, and dup_groups parquet outputs."""
+    dup_pairs, dup_groups, contaminated, and sample_manifest outputs."""
     root = tempfile.mkdtemp(prefix="grs_hygiene_")
     try:
         out = subprocess.run(
@@ -95,7 +95,14 @@ def test_hygiene_job_end_to_end():
         )
         assert out.returncode == 0, out.stderr[-2000:]
         assert "funnel rows" in out.stdout
-        for sub in ("funnel", "dup_pairs", "dup_groups"):
+        for sub in (
+            "funnel",
+            "dup_pairs",
+            "dup_groups",
+            "contaminated",
+            "sample_manifest",
+        ):
             assert os.path.exists(os.path.join(root, sub, "_SUCCESS"))
+        assert "contaminated docs" in out.stdout
     finally:
         shutil.rmtree(root, ignore_errors=True)
