@@ -29,10 +29,22 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def host_probe_s() -> float:
+    """Single-core busy-loop probe (CLAUDE.md hygiene): ~1.1-1.4s on a
+    clean window; ≥2s means the host is in an ambient-degradation window
+    and the numbers below measure the hypervisor, not the pipeline."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(20_000_000):
+        x += i * i
+    return round(time.perf_counter() - t0, 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     only = {q for q in os.environ.get("BENCH_QUERIES", "").split(",") if q}
+    probe_before = host_probe_s()
 
     import __spark_entry__ as e
     from go_readability_spark.spark.corpus import synthesize_documents
@@ -107,6 +119,7 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
+    spark.stop()
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
         json.dumps(
@@ -119,10 +132,12 @@ def main() -> None:
                 "docs_per_sec": round(docs_per_sec, 2),
                 "n_docs": n_docs,
                 "cpus": cpus,
+                # host-health evidence (see BENCH/BASELINE.md): clean ≈
+                # 1.1-1.4s, ≥2s = degraded window, numbers not comparable
+                "host_probe_sec": [probe_before, host_probe_s()],
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":
