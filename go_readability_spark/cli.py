@@ -20,15 +20,33 @@ from .kernel.readability import parse_document
 from .kernel.readerable import is_probably_readerable
 
 
+def _pdf_to_page(payload: bytes) -> str:
+    """PDF bytes → the same <p>-scaffold page ingest_pdf_documents builds
+    (codec.pdf text layer, HTML-escaped lines), so the kernel sees the
+    identical document either path."""
+    from html import escape
+
+    from .codec.pdf import pdf_to_text_lines
+
+    body = "".join(f"<p>{escape(line)}</p>" for line in pdf_to_text_lines(payload))
+    return f"<html><body>{body}</body></html>"
+
+
 def _load(source: str, timeout: float) -> tuple[str, str]:
     if source.startswith(("http://", "https://")):
         from urllib.request import urlopen  # network may be unavailable; let it raise
 
         with urlopen(source, timeout=timeout) as resp:  # noqa: S310
+            raw = resp.read()
+            if raw[:5] == b"%PDF-":
+                return _pdf_to_page(raw), source
             charset = resp.headers.get_content_charset() or "utf-8"
-            return resp.read().decode(charset, errors="replace"), source
-    with open(source, encoding="utf-8") as f:
-        return f.read(), f"file://{source}"
+            return raw.decode(charset, errors="replace"), source
+    with open(source, "rb") as f:
+        raw = f.read()
+    if raw[:5] == b"%PDF-":
+        return _pdf_to_page(raw), f"file://{source}"
+    return raw.decode("utf-8", errors="replace"), f"file://{source}"
 
 
 def main(argv: list[str] | None = None) -> int:

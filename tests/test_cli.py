@@ -35,6 +35,25 @@ def test_cli_json_output():
     assert data["spans"] and all("kind" in s for s in data["spans"])
 
 
+def test_cli_pdf_input(tmp_path):
+    """A %PDF- payload routes through the text-layer codec into the same
+    kernel path as HTML (magic-byte sniff, not extension)."""
+    sys.path.insert(0, "/root/repo/tests")
+    from test_pdf import _minimal_pdf
+
+    paras = b"".join(
+        b"BT 72 %d Td (Paragraph %d of the PDF body, full of readable words "
+        b"that the scorer keeps together in the article, with commas, and "
+        b"enough length to score well.) Tj ET\n" % (700 - 14 * i, i)
+        for i in range(12)
+    )
+    p = tmp_path / "doc.pdf"
+    p.write_bytes(_minimal_pdf(paras, flate=True))
+    r = run_cli(str(p), "-o", "text")
+    assert r.returncode == 0
+    assert "Paragraph 3 of the PDF body" in r.stdout
+
+
 def test_cli_readerable_gate(tmp_path):
     p = tmp_path / "tiny.html"
     p.write_text("<html><body><p>hi</p></body></html>")
