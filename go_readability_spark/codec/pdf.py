@@ -105,12 +105,14 @@ def pdf_to_text_lines(pdf: bytes) -> list[str]:
             taken: list[tuple[int, str]] = []
             consumed: list[tuple[int, int]] = []
             for m in _TJ_ARRAY_RE.finditer(body):
-                parts = [
-                    (s.start(), _unescape(s.group(1)))
-                    for s in _STR_IN_ARRAY_RE.finditer(m.group(1))
-                ] + [
+                lits = list(_STR_IN_ARRAY_RE.finditer(m.group(1)))
+                lit_spans = [(s.start(), s.end()) for s in lits]
+                parts = [(s.start(), _unescape(s.group(1))) for s in lits] + [
                     (s.start(), _unhex(s.group(1)))
                     for s in _HEX_IN_ARRAY_RE.finditer(m.group(1))
+                    # a literal like (a<b>) must not double-count its
+                    # hex-digit-only angle text as a hex string
+                    if not any(a <= s.start() < b for a, b in lit_spans)
                 ]
                 taken.append((m.start(), "".join(t for _, t in sorted(parts))))
                 consumed.append((m.start(), m.end()))

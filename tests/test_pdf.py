@@ -58,6 +58,13 @@ def test_pdf_hex_strings():
     assert lines == ["Hello", "mix AB done", "Hi", "XYZp"]
 
 
+def test_pdf_hex_lookalike_inside_literal_not_double_counted():
+    """Literal strings whose text happens to contain hex-digit-only angle
+    text (e.g. '(a<b>)') must not ALSO match as hex strings in TJ arrays."""
+    lines = pdf_to_text_lines(_minimal_pdf(b"BT [(a<b>) ( c)] TJ ET"))
+    assert lines == ["a<b> c"]
+
+
 def test_pdf_malformed_escape_degrades_gracefully():
     r"""\8 / \9 are not octal digits: the backslash is dropped and the
     character kept, instead of ValueError killing the Spark task."""
