@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders_per_customer": R.topk_orders_per_customer,
         "sessionize_events": R.sessionize_events,
         "hourly_event_rollup": R.hourly_event_rollup,
+        "events_asof_orders": R.events_asof_orders,
         # dedup family
         "dedup_exact": lambda spark, sf: D.exact_duplicates(_docs(spark, sf)),
         "dedup_ngram_jaccard": lambda spark, sf: D.ngram_jaccard_pairs(_docs(spark, sf)),
@@ -139,6 +140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": lambda spark, sf: TS.decontaminate(_docs(spark, sf)),
         "text_stratified_sample": lambda spark, sf: TS.stratified_sample(_docs(spark, sf)),
         "text_vocab_topk": lambda spark, sf: TS.vocab_topk(_docs(spark, sf)),
+        "text_repetition": lambda spark, sf: TS.repetition_signals(_docs(spark, sf)),
         "training_corpus_funnel": lambda spark, sf: TS.training_corpus_funnel(_docs(spark, sf)),
         # extraction surface (non-SQL-expressible: kernel inside mapInPandas;
         # correctness gated by the 119-fixture golden suite under pytest, and
@@ -270,6 +272,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders_per_customer": R.topk_orders_per_customer_oracle_sql(),
         "sessionize_events": R.sessionize_events_oracle_sql(),
         "hourly_event_rollup": R.hourly_event_rollup_oracle_sql(),
+        "events_asof_orders": R.events_asof_orders_oracle_sql(),
         "dedup_exact": D.exact_duplicates_oracle_sql(),
         "dedup_ngram_jaccard": D.ngram_jaccard_pairs_oracle_sql(),
         "dedup_minhash_lsh": D.lsh_candidate_pairs_oracle_sql(),
@@ -291,6 +294,7 @@ def oracle_sql() -> dict[str, str]:
         "text_decontaminate": TS.decontaminate_oracle_sql(),
         "text_stratified_sample": TS.stratified_sample_oracle_sql(),
         "text_vocab_topk": TS.vocab_topk_oracle_sql(),
+        "text_repetition": TS.repetition_signals_oracle_sql(),
         "training_corpus_funnel": TS.training_corpus_funnel_oracle_sql(),
         # The kernel is not SQL-expressible, so the extraction-chained
         # queries get PINNED-CONSTANT oracles: expected values computed once

@@ -397,3 +397,75 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
 FROM events
 GROUP BY 1, 2 ORDER BY hour, event_type
 """
+
+
+# ---------------------------------------------------------------- as-of join
+def events_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: enrich each event with the customer's most recent order
+    on-or-before the event date, rolled up per event type (match rate +
+    total staleness).  Spark has no native ASOF JOIN; the scalable form is
+    tag-union + carry-forward window — one shuffle on the key, no range
+    explosion, never a per-row subquery:
+
+      union(orders tagged 0, events tagged 1)
+        → window(partitionBy key, orderBy (date, tag))
+        → last(order_date, ignorenulls) over rows unbounded-preceding
+
+    Ordering ties are benign by construction: tied order rows share the
+    same order_date (it IS the sort key), and the tag sorts orders before
+    same-day events, so the carried value is deterministic.  At 100 TB both
+    sides shuffle once on user_id and the window is a sorted streaming
+    pass — the same cost as a co-partitioned merge join.
+    """
+    ev = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+    o = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+    )
+    e = ev.select(
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        F.lit(1).alias("is_event"),
+        "event_type",
+        F.lit(None).cast("date").alias("order_date"),
+    )
+    w = Window.partitionBy("user_id").orderBy("d", "is_event").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    carried = o.unionByName(e).withColumn(
+        "last_order_date", F.last("order_date", ignorenulls=True).over(w)
+    )
+    return (
+        carried.filter(F.col("is_event") == 1)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("last_order_date").alias("n_matched"),
+            F.sum(F.datediff(F.col("d"), F.col("last_order_date")))
+            .cast("long")
+            .alias("sum_lag_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def events_asof_orders_oracle_sql() -> str:
+    # DuckDB has a native ASOF JOIN; with ties in order_date the picked row
+    # is arbitrary but its order_date is not — only the date is consumed.
+    return """
+WITH e AS (
+  SELECT event_type, user_id, CAST(ts AS DATE) AS d FROM events
+), o AS (
+  SELECT o_custkey AS user_id, CAST(o_orderdate AS DATE) AS order_date FROM orders
+), matched AS (
+  SELECT e.event_type, e.d, o.order_date
+  FROM e ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.d >= o.order_date
+)
+SELECT event_type, count(*) AS n_events, count(order_date) AS n_matched,
+       CAST(sum(d - order_date) AS BIGINT) AS sum_lag_days
+FROM matched GROUP BY event_type ORDER BY event_type
+"""

@@ -7,7 +7,7 @@ final aggregation; at 100 TB these are scan-bound map-side ops.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # Tiny deterministic English stopword set for the n-gram/stopword language
 # heuristic.  Shared verbatim with the oracle SQL.
@@ -174,6 +174,122 @@ def fingerprints_oracle_sql() -> str:
 SELECT source, count(*) AS n_docs,
        count(DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS n_distinct
 FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def repetition_signals(documents: DataFrame) -> DataFrame:
+    """Gopher-style per-document repetition signals (Rae et al. 2021,
+    Appendix A1.1), the repetition-quality gates a pretraining pipeline
+    applies after the cheap length/stopword filters:
+
+      - dup_word_bp:  fraction of word occurrences that are repeats
+      - top_2gram_bp: fraction of characters covered by the single most
+        frequent word 2-gram (ties broken lexicographically)
+      - dup_5gram_bp: fraction of characters covered by word 5-grams that
+        occur more than once
+
+    All ratios are integer basis points via integer division (`div`), so
+    no float rounding exists to drift between engines.
+
+    Scale shape: n-grams explode map-side; the (doc_id, gram) counts
+    collapse entirely in the map-side partial aggregation (every gram of a
+    doc originates from one input row, so the exchange moves only
+    already-collapsed counts), and the per-doc top-1 goes through
+    WindowGroupLimit.  No all-pairs anything; scan-bound at 100 TB.
+    """
+    base = documents.select(
+        "doc_id",
+        F.length("text").alias("n_chars_m"),
+        F.split(F.col("text"), " ").alias("w"),
+    ).select(
+        "doc_id",
+        "n_chars_m",
+        F.size("w").alias("n_words"),
+        F.size(F.array_distinct("w")).alias("n_distinct"),
+        "w",
+    )
+    grams2 = base.filter(F.size("w") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(w) - 2), i -> concat_ws(' ', slice(w, i + 1, 2)))")
+        ).alias("g"),
+    )
+    top2 = (
+        grams2.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("g"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", (F.col("cnt") * F.length("g")).alias("top2_chars"))
+    )
+    grams5 = base.filter(F.size("w") >= 5).select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(w) - 5), i -> concat_ws(' ', slice(w, i + 1, 5)))")
+        ).alias("g"),
+    )
+    dup5 = (
+        grams5.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.length("g")).alias("dup5_chars"))
+    )
+    return (
+        base.join(top2, "doc_id", "left")
+        .join(dup5, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.expr("(10000 * (n_words - n_distinct)) div n_words").alias("dup_word_bp"),
+            F.expr("(10000 * coalesce(top2_chars, 0)) div n_chars_m").alias("top_2gram_bp"),
+            F.expr("(10000 * coalesce(dup5_chars, 0)) div n_chars_m").alias("dup_5gram_bp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def repetition_signals_oracle_sql() -> str:
+    return """
+WITH base AS (
+  SELECT doc_id, length(text) AS n_chars_m, string_split(text, ' ') AS w FROM documents
+), feats AS (
+  SELECT doc_id, n_chars_m, len(w) AS n_words, len(list_distinct(w)) AS n_distinct, w
+  FROM base
+), g2 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, len(w) - 1),
+                               i -> array_to_string(w[i + 1 : i + 2], ' '))) AS g
+  FROM feats WHERE len(w) >= 2
+), c2 AS (
+  SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY doc_id, g
+), top2 AS (
+  SELECT doc_id, cnt * length(g) AS top2_chars
+  FROM c2
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g ASC) = 1
+), g5 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, len(w) - 4),
+                               i -> array_to_string(w[i + 1 : i + 5], ' '))) AS g
+  FROM feats WHERE len(w) >= 5
+), c5 AS (
+  SELECT doc_id, g, count(*) AS cnt FROM g5 GROUP BY doc_id, g
+), dup5 AS (
+  SELECT doc_id, CAST(sum(cnt * length(g)) AS BIGINT) AS dup5_chars
+  FROM c5 WHERE cnt > 1 GROUP BY doc_id
+)
+SELECT f.doc_id, f.n_words,
+       (10000 * (f.n_words - f.n_distinct)) // f.n_words AS dup_word_bp,
+       (10000 * coalesce(t.top2_chars, 0)) // f.n_chars_m AS top_2gram_bp,
+       (10000 * coalesce(d.dup5_chars, 0)) // f.n_chars_m AS dup_5gram_bp
+FROM feats f
+LEFT JOIN top2 t USING (doc_id)
+LEFT JOIN dup5 d USING (doc_id)
+ORDER BY f.doc_id
 """
 
 
