@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": R.sessionize_events,
         "hourly_event_rollup": R.hourly_event_rollup,
         "events_asof_orders": R.events_asof_orders,
+        "event_cooccurrence_range_join": R.event_cooccurrence_range_join,
         # dedup family
         "dedup_exact": lambda spark, sf: D.exact_duplicates(_docs(spark, sf)),
         "dedup_ngram_jaccard": lambda spark, sf: D.ngram_jaccard_pairs(_docs(spark, sf)),
@@ -273,6 +274,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": R.sessionize_events_oracle_sql(),
         "hourly_event_rollup": R.hourly_event_rollup_oracle_sql(),
         "events_asof_orders": R.events_asof_orders_oracle_sql(),
+        "event_cooccurrence_range_join": R.event_cooccurrence_range_join_oracle_sql(),
         "dedup_exact": D.exact_duplicates_oracle_sql(),
         "dedup_ngram_jaccard": D.ngram_jaccard_pairs_oracle_sql(),
         "dedup_minhash_lsh": D.lsh_candidate_pairs_oracle_sql(),

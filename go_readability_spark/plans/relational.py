@@ -469,3 +469,84 @@ SELECT event_type, count(*) AS n_events, count(order_date) AS n_matched,
        CAST(sum(d - order_date) AS BIGINT) AS sum_lag_days
 FROM matched GROUP BY event_type ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------- range join
+RANGE_WINDOW_US = 5 * 60 * 1_000_000  # 5-minute co-occurrence window
+
+
+def event_cooccurrence_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: pairs of same-user events at most 5 minutes
+    apart, counted per ordered type pair — the burst/co-occurrence shape.
+    Spark has no native range join either; a naive theta-join degenerates
+    to a per-key nested loop.  The scalable form is band bucketing: bucket
+    ts by the window width, probe the own and NEXT bucket only (pairs are
+    time-ordered, so backward adjacency is redundant), then verify the
+    exact predicate:
+
+      a × explode([bucket, bucket+1]) ⋈ b on (user_id, bucket)
+        → filter 0 ≤ ts_b − ts_a ≤ W and (ts_a, id_a) < (ts_b, id_b)
+
+    Every candidate pair appears exactly once (its two buckets differ), the
+    join is a pure equi-join on a high-cardinality key, and the fan-out is
+    2× the input — never |events|² per user.  Pair order is made total via
+    (ts, event_id) so ties at equal timestamps are deterministic.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    a = ev.select(
+        "user_id",
+        F.col("event_id").alias("id_a"),
+        F.col("event_type").alias("type_a"),
+        F.col("ts_us").alias("ts_a"),
+        F.explode(
+            F.expr(
+                f"array(ts_us div {RANGE_WINDOW_US}, ts_us div {RANGE_WINDOW_US} + 1)"
+            )
+        ).alias("bucket"),
+    )
+    b = ev.select(
+        "user_id",
+        F.col("event_id").alias("id_b"),
+        F.col("event_type").alias("type_b"),
+        F.col("ts_us").alias("ts_b"),
+        F.expr(f"ts_us div {RANGE_WINDOW_US}").alias("bucket"),
+    )
+    pairs = a.join(b, ["user_id", "bucket"]).filter(
+        (F.col("ts_b") - F.col("ts_a") >= 0)
+        & (F.col("ts_b") - F.col("ts_a") <= RANGE_WINDOW_US)
+        & (
+            (F.col("ts_a") < F.col("ts_b"))
+            | ((F.col("ts_a") == F.col("ts_b")) & (F.col("id_a") < F.col("id_b")))
+        )
+    )
+    return (
+        pairs.groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.col("ts_b") - F.col("ts_a")).alias("sum_gap_us"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def event_cooccurrence_range_join_oracle_sql() -> str:
+    # The oracle states the predicate directly; DuckDB's IEJoin handles the
+    # inequality pair without the banding the distributed plan needs.
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       count(*) AS n_pairs,
+       CAST(sum(b.ts_us - a.ts_us) AS BIGINT) AS sum_gap_us
+FROM e a JOIN e b
+  ON a.user_id = b.user_id
+ AND b.ts_us - a.ts_us BETWEEN 0 AND {RANGE_WINDOW_US}
+ AND (a.ts_us < b.ts_us OR (a.ts_us = b.ts_us AND a.event_id < b.event_id))
+GROUP BY type_a, type_b ORDER BY type_a, type_b
+"""
