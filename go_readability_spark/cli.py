@@ -22,14 +22,11 @@ from .kernel.readerable import is_probably_readerable
 
 def _pdf_to_page(payload: bytes) -> str:
     """PDF bytes → the same <p>-scaffold page ingest_pdf_documents builds
-    (codec.pdf text layer, HTML-escaped lines), so the kernel sees the
+    (one shared piece builder in codec.pdf), so the kernel sees the
     identical document either path."""
-    from html import escape
+    from .codec.pdf import page_pieces_from_lines, pdf_to_text_lines
 
-    from .codec.pdf import pdf_to_text_lines
-
-    body = "".join(f"<p>{escape(line)}</p>" for line in pdf_to_text_lines(payload))
-    return f"<html><body>{body}</body></html>"
+    return "".join(page_pieces_from_lines(pdf_to_text_lines(payload)))
 
 
 def _load(source: str, timeout: float) -> tuple[str, str]:

@@ -78,6 +78,17 @@ def _unhex(raw: bytes) -> str:
         return ""
 
 
+def page_pieces_from_lines(lines: list[str]) -> list[str]:
+    """Text-layer lines → the <p>-scaffold page pieces both ingest paths
+    share (spark.corpus._pdf_batches builds spans from the pieces, the CLI
+    joins them).  Lines are HTML-escaped: PDF text is data, not markup —
+    '<', '>', '&' in a line (e.g. "a < b", "AT&T") must survive the kernel
+    parse verbatim instead of being read as tags."""
+    from html import escape
+
+    return ["<html><body>", *(f"<p>{escape(line)}</p>" for line in lines), "</body></html>"]
+
+
 def _content_streams(pdf: bytes) -> list[bytes]:
     streams = []
     for m in _STREAM_RE.finditer(pdf):
@@ -120,6 +131,9 @@ def pdf_to_text_lines(pdf: bytes) -> list[str]:
                 if any(a <= m.start() < b for a, b in consumed):
                     continue
                 taken.append((m.start(), _unescape(m.group(1))))
+                # record the literal span so hex-lookalike text INSIDE it
+                # (e.g. "(see <41> Tj)") isn't re-emitted by the hex scan
+                consumed.append((m.start(), m.end()))
             for m in _TJ_HEX_RE.finditer(body):
                 if any(a <= m.start() < b for a, b in consumed):
                     continue

@@ -22,7 +22,6 @@ document is a mega-doc (content ×64) to exercise skew routing.
 from __future__ import annotations
 
 import os
-from html import escape as html_escape
 from typing import Iterator
 
 import pandas as pd
@@ -212,7 +211,7 @@ def ingest_html_documents(df: DataFrame) -> DataFrame:
 
 
 def _pdf_batches(real_extract):
-    from ..codec.pdf import pdf_to_text_lines
+    from ..codec.pdf import page_pieces_from_lines, pdf_to_text_lines
 
     extract = real_extract or (lambda payload: pdf_to_text_lines(payload))
 
@@ -225,13 +224,9 @@ def _pdf_batches(real_extract):
                 lines = extract(payload)
                 # page scaffolding: the kernel extracts from doc.body, so a
                 # text layer must arrive as a well-formed page, one span per
-                # source line (the layout unit PDF gives us).  Lines are
-                # HTML-escaped: PDF text is data, not markup — '<', '>', '&'
-                # in a line (e.g. "a < b", "AT&T") must survive the kernel
-                # parse verbatim instead of being read as tags.
-                pieces = ["<html><body>"]
-                pieces += [f"<p>{html_escape(line)}</p>" for line in lines]
-                pieces.append("</body></html>")
+                # source line (the layout unit PDF gives us); the piece
+                # builder (incl. HTML-escaping) is shared with the CLI path
+                pieces = page_pieces_from_lines(lines)
                 spans, off = [], 0
                 for piece in pieces:
                     # kind "markup" matches html_to_spans' vocabulary for

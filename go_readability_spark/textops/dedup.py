@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ._persist import scratch_persist
+
 SHINGLE_K = 3          # words per shingle
 MINHASH_N = 8          # permutations (md5-salted)
 LSH_BANDS = 4          # bands of MINHASH_N / LSH_BANDS rows each
@@ -99,8 +101,8 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = JACCARD_THRESHO
         .filter(F.size("w") >= SHINGLE_K)
         .select("doc_id", "lang", "len_bucket", F.expr(_shingles_col()).alias("sh"))
         .withColumn("n_sh", F.size("sh"))
-        .persist()
     )
+    sh = scratch_persist(sh)
     postings = sh.select(
         "doc_id", "lang", "len_bucket", "n_sh", F.explode("sh").alias("s")
     )
@@ -302,7 +304,7 @@ def lsh_candidate_pairs(documents: DataFrame) -> DataFrame:
     )
     # persist: the self-join otherwise recomputes the md5 signature subtree
     # on both sides (2× the dominant map cost at scale)
-    stacked = stacked.persist()
+    stacked = scratch_persist(stacked)
     a, b = stacked.alias("a"), stacked.alias("b")
     return (
         a.join(
@@ -561,11 +563,13 @@ def simhash_near_dup_pairs(
     )
     # persist: both sides of the band self-join read this subtree — without
     # it the md5-per-word fingerprint pass runs twice
-    banded = fp.selectExpr(
-        "doc_id",
-        "simhash",
-        f"stack({SIMHASH_BANDS}, {band_args}) AS (band_idx, band_val)",
-    ).persist()
+    banded = scratch_persist(
+        fp.selectExpr(
+            "doc_id",
+            "simhash",
+            f"stack({SIMHASH_BANDS}, {band_args}) AS (band_idx, band_val)",
+        )
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

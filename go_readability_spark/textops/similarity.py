@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ._persist import scratch_persist
+
 N_QUERIES = 8       # vec_id < N_QUERIES form the query set
 TOP_K = 5
 EMB_DIM = 64        # testdata embeddings.parquet dimension
@@ -226,7 +228,7 @@ def embedding_near_dup_pairs(
     """
     # persist: the self-join would otherwise recompute the signature
     # subtree (16 dot products per vector) on both sides
-    banded = _banded(embeddings).persist()
+    banded = scratch_persist(_banded(embeddings))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -282,7 +284,7 @@ def lsh_bucketed_topk(
     cardinality grows with EMB_PLANES, prunable and AQE-balanced).
     Recall < 1 by construction; the oracle implements the identical
     bucketing, so values still match exactly."""
-    banded = _banded(embeddings).persist()
+    banded = scratch_persist(_banded(embeddings))
     q = banded.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), "band_idx", "band_val"
     )
@@ -468,7 +470,7 @@ FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 # -------------------------------------------------- embedding dedup groups
 def embedding_dedup_groups(
     embeddings: DataFrame,
-    threshold: float = NEAR_DUP_THRESHOLD,
+    threshold: float | None = None,
     pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Connected components over the embedding near-dup pair graph →
@@ -483,8 +485,16 @@ def embedding_dedup_groups(
     builds the graph once."""
     from .dedup import connected_components
 
+    if pairs is not None and threshold is not None:
+        raise ValueError(
+            "pass either threshold or a prebuilt pairs frame, not both: a "
+            "supplied pairs graph was built at its own threshold and would "
+            "silently ignore this one"
+        )
     if pairs is None:
-        pairs = embedding_near_dup_pairs(embeddings, threshold)
+        pairs = embedding_near_dup_pairs(
+            embeddings, NEAR_DUP_THRESHOLD if threshold is None else threshold
+        )
     pairs = pairs.select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )

@@ -245,7 +245,8 @@ def repetition_signals(documents: DataFrame) -> DataFrame:
         .select(
             "doc_id",
             "n_words",
-            F.expr("(10000 * (n_words - n_distinct)) div n_words").alias("dup_word_bp"),
+            # bigint literal: int32 would overflow past ~214k repeated words
+            F.expr("(10000L * (n_words - n_distinct)) div n_words").alias("dup_word_bp"),
             F.expr("(10000 * coalesce(top2_chars, 0)) div n_chars_m").alias("top_2gram_bp"),
             F.expr("(10000 * coalesce(dup5_chars, 0)) div n_chars_m").alias("dup_5gram_bp"),
         )
@@ -301,7 +302,8 @@ FUNNEL_MIN_STOPWORD_BP = 500  # ≥5% stopwords ≈ "looks like English prose"
 
 # Benchmark-decontamination parameters: probe n-grams are word-{DECON_K}
 # shingles; the synthetic "benchmark set" is derived deterministically from
-# the corpus (the opening shingle of every {DECON_PROBE_MOD}th doc), which
+# the corpus (the opening shingle of docs in one md5 bucket of
+# {DECON_PROBE_MOD} — type-agnostic over numeric or string doc_ids), which
 # stands in for eval-set strings without external data.
 DECON_K = 8
 DECON_PROBE_MOD = 50
@@ -331,8 +333,15 @@ def decontaminate(documents: DataFrame) -> DataFrame:
             )
         ).alias("h"),
     )
+    # md5-bucket probe selection (same recipe as stratified_sample) works
+    # for ANY doc_id type — the hygiene job feeds STRING doc_ids from the
+    # articles table, where a numeric `doc_id % mod` would ANSI-crash.
+    probe_bucket = (
+        F.expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)")
+        % DECON_PROBE_MOD
+    )
     probes = (
-        w.filter((F.col("doc_id") % DECON_PROBE_MOD) == DECON_PROBE_REM)
+        w.filter(probe_bucket == DECON_PROBE_REM)
         .select(F.expr(f"md5(concat_ws(' ', slice(w, 1, {DECON_K})))").alias("h"))
         .distinct()
     )
@@ -356,7 +365,9 @@ WITH w AS (
   FROM w
 ), probes AS (
   SELECT DISTINCT md5(array_to_string(w[1 : {DECON_K}], ' ')) AS h
-  FROM w WHERE doc_id % {DECON_PROBE_MOD} = {DECON_PROBE_REM}
+  FROM w
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        % {DECON_PROBE_MOD} = {DECON_PROBE_REM}
 )
 SELECT s.doc_id, count(DISTINCT s.h) AS n_contaminated
 FROM sh s JOIN probes p USING (h)

@@ -63,6 +63,10 @@ def test_pdf_hex_lookalike_inside_literal_not_double_counted():
     text (e.g. '(a<b>)') must not ALSO match as hex strings in TJ arrays."""
     lines = pdf_to_text_lines(_minimal_pdf(b"BT [(a<b>) ( c)] TJ ET"))
     assert lines == ["a<b> c"]
+    # same guard on the standalone path: hex-lookalike text followed by a
+    # literal 'Tj' INSIDE a (...) Tj literal must not re-emit as hex
+    lines = pdf_to_text_lines(_minimal_pdf(b"BT (see <41> Tj) Tj ET"))
+    assert lines == ["see <41> Tj"]
 
 
 def test_pdf_malformed_escape_degrades_gracefully():
