@@ -114,6 +114,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_event_rollup": R.hourly_event_rollup,
         "events_asof_orders": R.events_asof_orders,
         "event_cooccurrence_range_join": R.event_cooccurrence_range_join,
+        "events_props_json": R.events_props_json,
+        "corpus_rollup": R.corpus_rollup,
         # dedup family
         "dedup_exact": lambda spark, sf: D.exact_duplicates(_docs(spark, sf)),
         "dedup_ngram_jaccard": lambda spark, sf: D.ngram_jaccard_pairs(_docs(spark, sf)),
@@ -275,6 +277,8 @@ def oracle_sql() -> dict[str, str]:
         "hourly_event_rollup": R.hourly_event_rollup_oracle_sql(),
         "events_asof_orders": R.events_asof_orders_oracle_sql(),
         "event_cooccurrence_range_join": R.event_cooccurrence_range_join_oracle_sql(),
+        "events_props_json": R.events_props_json_oracle_sql(),
+        "corpus_rollup": R.corpus_rollup_oracle_sql(),
         "dedup_exact": D.exact_duplicates_oracle_sql(),
         "dedup_ngram_jaccard": D.ngram_jaccard_pairs_oracle_sql(),
         "dedup_minhash_lsh": D.lsh_candidate_pairs_oracle_sql(),

@@ -550,3 +550,58 @@ FROM e a JOIN e b
  AND (a.ts_us < b.ts_us OR (a.ts_us = b.ts_us AND a.event_id < b.event_id))
 GROUP BY type_a, type_b ORDER BY type_a, type_b
 """
+
+
+# ------------------------------------------------------------ JSON extraction
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured projection: pull a typed field out of the JSON
+    ``props`` column and aggregate it — the log-enrichment shape.  JSON
+    path evaluation (`get_json_object`) is a JVM-side codegen'd expression
+    applied map-side before the one low-cardinality rollup shuffle; at
+    100 TB the scan dominates, exactly like the other textstats passes."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def events_props_json_oracle_sql() -> str:
+    return """
+WITH e AS (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
+)
+SELECT event_type, count(*) AS n_events, count(k) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k
+FROM e GROUP BY event_type ORDER BY event_type
+"""
+
+
+# -------------------------------------------------------------------- rollup
+def corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level ROLLUP aggregation (source × lang hierarchies + grand
+    total in one pass) — the OLAP grouping-sets shape.  Spark expands the
+    rollup into grouping sets inside a single hash aggregate: one shuffle,
+    partial aggregation on every level, no per-level re-scan."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.rollup("source", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy(F.asc_nulls_first("source"), F.asc_nulls_first("lang"))
+    )
+
+
+def corpus_rollup_oracle_sql() -> str:
+    return """
+SELECT source, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY ROLLUP(source, lang)
+ORDER BY source NULLS FIRST, lang NULLS FIRST
+"""
