@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stratified_sample": lambda spark, sf: TS.stratified_sample(_docs(spark, sf)),
         "text_vocab_topk": lambda spark, sf: TS.vocab_topk(_docs(spark, sf)),
         "text_repetition": lambda spark, sf: TS.repetition_signals(_docs(spark, sf)),
+        "text_length_quantiles": lambda spark, sf: TS.length_quantiles(_docs(spark, sf)),
         "training_corpus_funnel": lambda spark, sf: TS.training_corpus_funnel(_docs(spark, sf)),
         # extraction surface (non-SQL-expressible: kernel inside mapInPandas;
         # correctness gated by the 119-fixture golden suite under pytest, and
@@ -301,6 +302,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stratified_sample": TS.stratified_sample_oracle_sql(),
         "text_vocab_topk": TS.vocab_topk_oracle_sql(),
         "text_repetition": TS.repetition_signals_oracle_sql(),
+        "text_length_quantiles": TS.length_quantiles_oracle_sql(),
         "training_corpus_funnel": TS.training_corpus_funnel_oracle_sql(),
         # The kernel is not SQL-expressible, so the extraction-chained
         # queries get PINNED-CONSTANT oracles: expected values computed once

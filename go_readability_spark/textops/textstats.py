@@ -177,6 +177,56 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def length_quantiles(documents: DataFrame) -> DataFrame:
+    """Exact per-source length distribution (p25/p50/p75 of n_chars) via
+    rank selection — percentile_disc semantics stated identically in both
+    engines (value at row_number == ceil(p·n) over a total (n_chars,
+    doc_id) order), so no interpolation convention can diverge.
+
+    Scale shape: ONE shuffle on source; both windows share the partition,
+    and the rank filter is a streaming pass over each sorted partition.
+    Exact quantiles genuinely need the per-group sort — the approximate
+    path (percentile_approx sketches) trades that away but has no
+    cross-engine-exact oracle.
+    """
+    ranked = documents.select(
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy("source")).alias("n"),
+    )
+    pick = lambda cond: F.max(F.when(F.expr(cond), F.col("n_chars")))  # noqa: E731
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.max("n").alias("n_docs"),
+            pick("rn = (n + 3) div 4").alias("p25_chars"),
+            pick("rn = (n + 1) div 2").alias("p50_chars"),
+            pick("rn = (3 * n + 3) div 4").alias("p75_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def length_quantiles_oracle_sql() -> str:
+    return """
+WITH ranked AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT source,
+       max(n) AS n_docs,
+       max(CASE WHEN rn = (n + 3) // 4 THEN n_chars END) AS p25_chars,
+       max(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS p50_chars,
+       max(CASE WHEN rn = (3 * n + 3) // 4 THEN n_chars END) AS p75_chars
+FROM ranked GROUP BY source ORDER BY source
+"""
+
+
 def repetition_signals(documents: DataFrame) -> DataFrame:
     """Gopher-style per-document repetition signals (Rae et al. 2021,
     Appendix A1.1), the repetition-quality gates a pretraining pipeline
