@@ -45,7 +45,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dead-app entries are evicted and displaced frames unpersisted so a
 # long-lived session sweeping many sf_dirs doesn't accumulate state.
 _FRAME_CACHE: dict[tuple[str, str, str], DataFrame] = {}
-_FRAME_CACHE_CAP = 4  # frames kept per live app (tests touch two sf_dirs)
+_FRAME_CACHE_CAP = 6  # frames kept per live app (tests touch two sf_dirs)
 
 
 def _session_cached(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
@@ -93,6 +93,20 @@ def _emb_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _text_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The text MinHash-LSH duplicate-group labeling, shared by
+    dedup_groups (which returns it) and dedup_canonical_keep (which ranks
+    members and picks survivors) — the LSH band join + CC iteration runs
+    once per session, mirroring the materialize-once groups table of the
+    100 TB pipeline."""
+    return _session_cached(
+        spark,
+        sf_dir,
+        "text_groups",
+        lambda: D.dedup_groups(_docs(spark, sf_dir)),
+    )
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
@@ -121,8 +135,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": lambda spark, sf: D.ngram_jaccard_pairs(_docs(spark, sf)),
         "dedup_minhash_lsh": lambda spark, sf: D.lsh_candidate_pairs(_docs(spark, sf)),
         "dedup_minhash_signatures": lambda spark, sf: D.minhash_signatures(_docs(spark, sf)).orderBy("doc_id"),
-        # iterative connected components (DuckDB twin: WITH RECURSIVE)
-        "dedup_groups": lambda spark, sf: D.dedup_groups(_docs(spark, sf)),
+        # iterative connected components (DuckDB twin: WITH RECURSIVE);
+        # the groups frame is computed once and shared with canonical_keep
+        "dedup_groups": lambda spark, sf: _text_groups(spark, sf),
+        "dedup_canonical_keep": lambda spark, sf: D.canonical_keep(
+            _docs(spark, sf), groups=_text_groups(spark, sf)
+        ),
+        "dedup_ngram_coverage": lambda spark, sf: D.ngram_coverage(_docs(spark, sf)),
         "dedup_simhash": lambda spark, sf: D.simhash_fingerprints(_docs(spark, sf)),
         "dedup_simhash_hamming": lambda spark, sf: D.simhash_near_dup_pairs(_docs(spark, sf)),
         "text_rolling_fingerprint": lambda spark, sf: D.rolling_fingerprints(_docs(spark, sf)),
@@ -287,6 +306,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": D.simhash_fingerprints_oracle_sql(),
         "dedup_simhash_hamming": D.simhash_near_dup_pairs_oracle_sql(),
         "dedup_groups": D.dedup_groups_oracle_sql(),
+        "dedup_canonical_keep": D.canonical_keep_oracle_sql(),
+        "dedup_ngram_coverage": D.ngram_coverage_oracle_sql(),
         "text_rolling_fingerprint": D.rolling_fingerprints_oracle_sql(),
         "similarity_cosine_topk": S.cosine_topk_oracle_sql(),
         "similarity_lsh_topk": S.lsh_bucketed_topk_oracle_sql(),

@@ -62,10 +62,21 @@ GROUP BY 1 HAVING count(*) > 1 ORDER BY fingerprint
 
 
 def _shingles_col() -> str:
-    """Spark SQL expr: ordered distinct word-K-shingles of column ``w``."""
+    """Spark SQL expr: ordered distinct word-K-shingles of column ``w``.
+
+    Total on any input: ``sequence(0, size(w) - K)`` counts DOWN through
+    negative starts when size(w) < K (Spark's sequence reverses when stop
+    < start, then ``slice`` rejects start 0), so short docs must never
+    reach the inner expression — callers' ``size(w) >= K`` filters are
+    not a guarantee of evaluation order under optimizer rewrites
+    (ConvertToLocalRelation, predicate reorder).  CASE WHEN branches are
+    lazy, making the guard airtight; the DuckDB twin's ``range`` is
+    already empty-on-negative."""
     return (
-        f"array_distinct(transform(sequence(0, size(w) - {SHINGLE_K}),"
+        f"CASE WHEN size(w) >= {SHINGLE_K} THEN"
+        f" array_distinct(transform(sequence(0, size(w) - {SHINGLE_K}),"
         f" i -> concat_ws(' ', slice(w, i + 1, {SHINGLE_K}))))"
+        f" ELSE array() END"
     )
 
 
@@ -614,4 +625,164 @@ banded AS (
 SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
 FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}
 ORDER BY doc_a, doc_b
+"""
+
+
+def ngram_coverage(documents: DataFrame) -> DataFrame:
+    """Exact-substring duplication signal (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): for every document, the
+    fraction of its word-{K}-shingles that occur in >=2 documents
+    corpus-wide.  Unlike the pairwise Jaccard/LSH operators this is a
+    GLOBAL posting-list count — it catches boilerplate shared across
+    thousands of pages that no single pair-join would rank highly, and it
+    is the gate a pretraining pipeline uses to drop or trim
+    template-heavy documents.
+
+    No reference equivalent (go-readability has no corpus tier); the
+    shingle vocabulary is shared with minhash_signatures
+    (dedup.py:_shingles_col).
+
+    Scale shape: explode to (doc_id, md5(shingle)) postings — md5 keys
+    keep shuffle rows fixed-width regardless of shingle text — then ONE
+    hash-partial-aggregated groupBy over the hash to find shingles with
+    document-frequency >=2, a semi-join of the postings against that set
+    (both sides hash-partitioned on the same key, AQE coalesces), and a
+    final per-doc count.  Never materializes pairs; at 100 TB the wide
+    exchanges are postings-by-hash (fixed 32-byte keys) and the per-doc
+    rollup.  Duplication ratio in integer basis points via integer
+    division (`div` <-> DuckDB `//`) — no float rounding to drift between
+    engines.
+    """
+    posts = (
+        documents.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+        .filter(F.size("w") >= SHINGLE_K)
+        .select("doc_id", F.expr(_shingles_col()).alias("sh"))
+        .select("doc_id", F.explode("sh").alias("s"))
+        .select("doc_id", F.md5("s").alias("h"))
+    )
+    posts = scratch_persist(posts)  # consumed 3x below; skip re-exploding
+    per_doc = posts.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    # shingles are array_distinct per doc, so count(*) == document frequency
+    dup_set = posts.groupBy("h").agg(F.count("*").alias("df")).filter(F.col("df") >= 2)
+    dup_counts = (
+        posts.join(dup_set.select("h"), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup"))
+    )
+    return (
+        per_doc.join(dup_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup_shingles"),
+            F.expr("(10000L * coalesce(n_dup, 0L)) div n_shingles")
+            .cast("long")
+            .alias("dup_ngram_bp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def ngram_coverage_oracle_sql() -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT doc_id, {_shingles_duck()} AS sh FROM w WHERE len(w) >= {SHINGLE_K}
+), posts AS (
+  SELECT doc_id, md5(unnest(sh)) AS h FROM sh
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_shingles FROM posts GROUP BY doc_id
+), dup_set AS (
+  SELECT h FROM posts GROUP BY h HAVING count(*) >= 2
+), dup_counts AS (
+  SELECT doc_id, count(*) AS n_dup FROM posts JOIN dup_set USING (h) GROUP BY doc_id
+)
+SELECT p.doc_id,
+       CAST(p.n_shingles AS BIGINT) AS n_shingles,
+       CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup_shingles,
+       CAST((10000 * coalesce(d.n_dup, 0)) // p.n_shingles AS BIGINT) AS dup_ngram_bp
+FROM per_doc p LEFT JOIN dup_counts d USING (doc_id)
+ORDER BY p.doc_id
+"""
+
+
+def canonical_keep(
+    documents: DataFrame, max_iters: int = 20, groups: DataFrame | None = None
+) -> DataFrame:
+    """The OUTPUT stage of near-dup dedup: inside every duplicate group
+    (connected component of the MinHash-LSH pair graph, dedup_groups),
+    keep exactly one representative — highest quality score, ties broken
+    by least doc_id — and mark the rest for dropping.  Pairs and groups
+    alone don't shrink a corpus; this is the operator whose `keep = 1`
+    rows ARE the retained training set.
+
+    No reference equivalent (corpus tier).  Quality is the shared
+    textstats.quality_scores composite (half-basis-points, integer
+    arithmetic end-to-end), so the gate and the survivor selection agree
+    on one definition of "better document".
+
+    Scale shape: the group frame holds only docs that appear in the pair
+    graph (a small fraction of any real corpus), the quality join is an
+    equi-join on doc_id, and the survivor pick is one window per group —
+    near-dup components are tiny and dense, so partitions are balanced.
+    Docs outside any group are implicitly kept and never enter the
+    shuffle.
+
+    Pass ``groups`` (a ``dedup_groups`` frame, ideally persisted) to reuse
+    an already-materialized component labeling — the 100 TB pipeline
+    computes the groups table once and fans consumers out over it.
+    """
+    from .textstats import quality_scores
+
+    if groups is None:
+        groups = dedup_groups(documents, max_iters)
+    q = quality_scores(documents).select("doc_id", "quality_hbp")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("canonical_doc_id").orderBy(
+        F.col("quality_hbp").desc(), F.col("doc_id").asc()
+    )
+    return (
+        groups.join(q, "doc_id")
+        .withColumn("keep", (F.row_number().over(w) == 1).cast("int"))
+        .select(
+            "doc_id",
+            F.col("canonical_doc_id").alias("group_id"),
+            "quality_hbp",
+            "keep",
+        )
+        .orderBy("group_id", "doc_id")
+    )
+
+
+def canonical_keep_oracle_sql() -> str:
+    """dedup_groups' recursive-CTE oracle extended with the quality join
+    and the survivor window — the whole keep-one-per-cluster stage in one
+    DuckDB statement."""
+    from .textstats import _quality_cte_body
+
+    return f"""
+WITH RECURSIVE {_lsh_pairs_cte_body()},
+edges AS (
+  SELECT doc_a, doc_b FROM lsh_pairs
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b FROM lsh_pairs
+),
+reach(doc_id, r) AS (
+  SELECT doc_a, doc_b FROM edges
+  UNION
+  SELECT e.doc_a, reach.r FROM edges e JOIN reach ON e.doc_b = reach.doc_id
+),
+groups AS (
+  SELECT doc_id, least(doc_id, min(r)) AS group_id FROM reach GROUP BY doc_id
+),
+{_quality_cte_body()}
+SELECT g.doc_id, g.group_id, q.quality_hbp,
+       CAST(CASE WHEN row_number() OVER (
+                PARTITION BY g.group_id
+                ORDER BY q.quality_hbp DESC, g.doc_id ASC) = 1
+            THEN 1 ELSE 0 END AS INT) AS keep
+FROM groups g JOIN quality q USING (doc_id)
+ORDER BY g.group_id, g.doc_id
 """

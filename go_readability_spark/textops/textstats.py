@@ -93,6 +93,25 @@ def quality_scores(documents: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _quality_cte_body() -> str:
+    """DuckDB CTE chunk ``qw, qfeats, quality`` → (doc_id, quality_hbp):
+    the same composite quality_scores computes (keep in lockstep with it
+    and with quality_scores_oracle_sql).  Shared by dedup.canonical_keep's
+    oracle, which ranks duplicate-group members by this score."""
+    return f"""qw AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), qfeats AS (
+  SELECT doc_id, len(w) AS n_words,
+         CAST(round(10000.0 * len(list_filter(w, t -> list_contains({_STOP_SQL}, t))) / len(w))
+              AS BIGINT) AS stopword_bp
+  FROM qw
+), quality AS (
+  SELECT doc_id,
+         CAST(least(n_words * 100, 10000) AS BIGINT) + stopword_bp AS quality_hbp
+  FROM qfeats
+)"""
+
+
 def quality_scores_oracle_sql() -> str:
     return f"""
 WITH w AS (

@@ -35,7 +35,7 @@ CROSS_OK = {
 
 # Iterative queries run jobs during construction (connected components);
 # their per-round plans are audited via the shared core instead.
-SKIP = {"dedup_groups", "dedup_embedding_groups"}
+SKIP = {"dedup_groups", "dedup_embedding_groups", "dedup_canonical_keep"}
 
 
 def _plan(df) -> str:
