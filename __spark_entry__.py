@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf), groups=_text_groups(spark, sf)
         ),
         "dedup_ngram_coverage": lambda spark, sf: D.ngram_coverage(_docs(spark, sf)),
+        "dedup_block_removal": lambda spark, sf: D.block_removal(_docs(spark, sf)),
         "dedup_simhash": lambda spark, sf: D.simhash_fingerprints(_docs(spark, sf)),
         "dedup_simhash_hamming": lambda spark, sf: D.simhash_near_dup_pairs(_docs(spark, sf)),
         "text_rolling_fingerprint": lambda spark, sf: D.rolling_fingerprints(_docs(spark, sf)),
@@ -158,6 +159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": lambda spark, sf: TS.token_counts(_docs(spark, sf)),
         "text_quality_scores": lambda spark, sf: TS.quality_scores(_docs(spark, sf)),
         "text_langid": lambda spark, sf: TS.langid(_docs(spark, sf)),
+        "text_top_terms": lambda spark, sf: TS.top_terms(_docs(spark, sf)),
         "text_fingerprints": lambda spark, sf: TS.fingerprints(_docs(spark, sf)),
         "text_decontaminate": lambda spark, sf: TS.decontaminate(_docs(spark, sf)),
         "text_stratified_sample": lambda spark, sf: TS.stratified_sample(_docs(spark, sf)),
@@ -308,6 +310,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_groups": D.dedup_groups_oracle_sql(),
         "dedup_canonical_keep": D.canonical_keep_oracle_sql(),
         "dedup_ngram_coverage": D.ngram_coverage_oracle_sql(),
+        "dedup_block_removal": D.block_removal_oracle_sql(),
+        "text_top_terms": TS.top_terms_oracle_sql(),
         "text_rolling_fingerprint": D.rolling_fingerprints_oracle_sql(),
         "similarity_cosine_topk": S.cosine_topk_oracle_sql(),
         "similarity_lsh_topk": S.lsh_bucketed_topk_oracle_sql(),

@@ -108,7 +108,9 @@ def main() -> None:
         # includes the one-time build, the rest are consumers.
         n_runs = (
             1
-            if name.startswith("extract") or name.startswith("dedup_embedding")
+            if name.startswith("extract")
+            or name.startswith("dedup_embedding")
+            or name in ("dedup_groups", "dedup_canonical_keep")
             else repeats
         )
         best = None

@@ -786,3 +786,111 @@ SELECT g.doc_id, g.group_id, q.quality_hbp,
 FROM groups g JOIN quality q USING (doc_id)
 ORDER BY g.group_id, g.doc_id
 """
+
+
+BLOCK_W = 8  # words per removal block (the exact-substring granularity)
+
+
+def block_removal(documents: DataFrame, block_words: int = BLOCK_W) -> DataFrame:
+    """Exact-duplicate substring REMOVAL (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", §4 ExactSubstr; C4's
+    duplicated-span drop): partition every document into consecutive
+    ``block_words``-word blocks, find blocks whose exact text occurs more
+    than once corpus-wide (including twice inside one document), and
+    rewrite each document with those blocks deleted.  Detection operators
+    (ngram_coverage, the pair joins) only FLAG duplication — this is the
+    stage that edits the retained text, the suffix-array-free Spark
+    rendition of the reference pipelines' substring dedup.
+
+    No reference equivalent (go-readability has no corpus tier).
+
+    Scale shape: posexplode to (doc_id, idx, md5(block)) — fixed-width
+    shuffle keys — one map-side-partial hash agg for occurrence counts, a
+    left-anti equi-join to drop duplicated blocks, and a per-doc
+    collect_list/array_sort reassembly whose state is bounded by document
+    length (same bound the extraction kernel already holds per row).  The
+    cleaned text is emitted as md5 only (``clean_fp``) so the result stays
+    fixed-width for the value-hash gate; callers wanting the text itself
+    (the hygiene job's clean-corpus sink) use ``block_removal_clean``.
+    """
+    cleaned = block_removal_clean(documents, block_words)
+    return cleaned.select(
+        "doc_id",
+        "n_blocks",
+        "n_removed_blocks",
+        F.md5(F.col("clean_text")).alias("clean_fp"),
+    ).orderBy("doc_id")
+
+
+def block_removal_clean(documents: DataFrame, block_words: int = BLOCK_W) -> DataFrame:
+    """``block_removal`` with the rewritten document text materialized:
+    (doc_id, n_blocks, n_removed_blocks, clean_text) — the frame a
+    pipeline writes back as the substring-deduplicated corpus."""
+    posts = (
+        documents.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(0, (size(w) + {block_words - 1}) div {block_words} - 1),"
+                f" i -> concat_ws(' ', slice(w, i * {block_words} + 1, {block_words})))"
+            ).alias("blocks"),
+        )
+        .select("doc_id", F.posexplode("blocks").alias("idx", "blk"))
+        .withColumn("h", F.md5("blk"))
+    )
+    posts = scratch_persist(posts)  # consumed 3x: totals, counts, survivors
+    # count OCCURRENCES (not distinct docs): a block repeated twice inside
+    # one document is duplicated text all the same — Lee et al. semantics
+    dup_h = posts.groupBy("h").agg(F.count("*").alias("occ")).filter(F.col("occ") >= 2)
+    totals = posts.groupBy("doc_id").agg(F.count("*").alias("n_blocks"))
+    kept = (
+        posts.join(dup_h.select("h"), "h", "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_sort(F.collect_list(F.struct("idx", "blk"))).alias("parts"),
+        )
+        .select(
+            "doc_id",
+            "n_kept",
+            F.expr("concat_ws(' ', transform(parts, x -> x.blk))").alias("clean_text"),
+        )
+    )
+    return totals.join(kept, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        (F.col("n_blocks") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_removed_blocks"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
+def block_removal_oracle_sql(block_words: int = BLOCK_W) -> str:
+    b = block_words
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), idxs AS (
+  SELECT doc_id, w, unnest(range(0, (len(w) + {b - 1}) // {b})) AS idx FROM w
+), hashed AS (
+  SELECT doc_id, idx,
+         array_to_string(w[idx * {b} + 1 : idx * {b} + {b}], ' ') AS blk,
+         md5(array_to_string(w[idx * {b} + 1 : idx * {b} + {b}], ' ')) AS h
+  FROM idxs
+), dup AS (
+  SELECT h FROM hashed GROUP BY h HAVING count(*) >= 2
+), totals AS (
+  SELECT doc_id, count(*) AS n_blocks FROM hashed GROUP BY doc_id
+), kept AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(blk, ' ' ORDER BY idx) AS clean_text
+  FROM hashed WHERE h NOT IN (SELECT h FROM dup) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(t.n_blocks AS BIGINT) AS n_blocks,
+       CAST(t.n_blocks - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed_blocks,
+       md5(coalesce(k.clean_text, '')) AS clean_fp
+FROM totals t LEFT JOIN kept k USING (doc_id)
+ORDER BY t.doc_id
+"""

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ._persist import scratch_persist
+
 # Tiny deterministic English stopword set for the n-gram/stopword language
 # heuristic.  Shared verbatim with the oracle SQL.
 EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
@@ -598,4 +600,80 @@ WITH base AS (
 SELECT p.source, p.n_docs, f.n_after_dedup, f.n_kept, f.kept_tokens
 FROM per_source p JOIN funnel f ON p.source = f.source
 ORDER BY p.source
+"""
+
+
+TOP_TERMS_K = 3  # characteristic terms kept per document
+
+
+def top_terms(documents: DataFrame, k: int = TOP_TERMS_K) -> DataFrame:
+    """Per-document characteristic terms: the k terms with the highest
+    in-document frequency among terms that are NOT corpus-common, ranked
+    by (tf desc, df asc, term asc) — the float-free rendition of TF-IDF
+    keyword extraction (rarer corpus-wide beats commoner at equal tf;
+    no log() whose last-ulp rounding could drift between engines).
+    "Corpus-common" = document frequency above half the corpus, the same
+    cutoff Luhn's classic keyword heuristic applies before significance
+    ranking.  A training pipeline uses these for topic bucketing and
+    source-mix audits.
+
+    No reference equivalent (corpus tier).
+
+    Scale shape: tf is one (doc_id, term) hash agg with map-side partial
+    collapse (all of a doc's terms originate in one row); df falls out of
+    the tf frame with a second agg (rows are already distinct doc×term);
+    the common-term cutoff is a 1-row broadcast; the per-doc top-k runs
+    through WindowGroupLimit (partial top-k both sides of the exchange).
+    """
+    tf = (
+        documents.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    tf = scratch_persist(tf)  # consumed twice: df agg + the ranked join
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = documents.groupBy().agg(F.count("*").alias("n_docs_total"))
+    rare = (
+        df_.join(F.broadcast(n_docs))
+        .filter(F.col("df") * 2 <= F.col("n_docs_total"))
+        .select("term", "df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(rare, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
+def top_terms_oracle_sql(k: int = TOP_TERMS_K) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), rare AS (
+  SELECT term, df FROM df WHERE df * 2 <= (SELECT count(*) FROM documents)
+), ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, rare.df,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, rare.df ASC, tf.term ASC) AS rank
+  FROM tf JOIN rare USING (term)
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+ORDER BY doc_id, rank
 """

@@ -10,7 +10,8 @@ remap).  Cluster deployment mirrors extract_job.py:
         jobs/hygiene_job.py \
         --input <articles root or documents table> \
         --output <output root: funnel/ dup_pairs/ dup_groups/
-                  contaminated/ sample_manifest/>
+                  keep_manifest/ clean_corpus/ contaminated/
+                  sample_manifest/>
 
 Local smoke run:
 
@@ -40,7 +41,12 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from go_readability_spark.textops.dedup import dedup_groups, lsh_candidate_pairs
+    from go_readability_spark.textops.dedup import (
+        block_removal_clean,
+        canonical_keep,
+        dedup_groups,
+        lsh_candidate_pairs,
+    )
     from go_readability_spark.textops.textstats import (
         decontaminate,
         stratified_sample,
@@ -69,8 +75,20 @@ def main() -> None:
     pairs.write.mode("overwrite").parquet(os.path.join(args.output, "dup_pairs"))
 
     if not args.skip_groups:
-        groups = dedup_groups(docs)
+        groups = dedup_groups(docs).persist()
         groups.write.mode("overwrite").parquet(os.path.join(args.output, "dup_groups"))
+        # survivor manifest: keep=1 rows ARE the retained set inside each
+        # duplicate group (groups reused, CC runs once)
+        canonical_keep(docs, groups=groups).write.mode("overwrite").parquet(
+            os.path.join(args.output, "keep_manifest")
+        )
+        groups.unpersist()
+
+    # substring-dedup rewrite: the corpus with corpus-duplicated 8-word
+    # blocks deleted (Lee et al. ExactSubstr, block-granular)
+    block_removal_clean(docs).write.mode("overwrite").parquet(
+        os.path.join(args.output, "clean_corpus")
+    )
 
     # benchmark decontamination (broadcast probe set) + the reproducible
     # per-source sample manifest — the remaining gates a training pipeline

@@ -78,7 +78,8 @@ def test_mega_doc_routes_and_extracts(spark):
 
 def test_hygiene_job_end_to_end():
     """hygiene_job over the sf0.001 documents table writes funnel,
-    dup_pairs, dup_groups, contaminated, and sample_manifest outputs."""
+    dup_pairs, dup_groups, keep_manifest, clean_corpus, contaminated,
+    and sample_manifest outputs."""
     root = tempfile.mkdtemp(prefix="grs_hygiene_")
     try:
         out = subprocess.run(
@@ -99,6 +100,8 @@ def test_hygiene_job_end_to_end():
             "funnel",
             "dup_pairs",
             "dup_groups",
+            "keep_manifest",
+            "clean_corpus",
             "contaminated",
             "sample_manifest",
         ):

@@ -31,6 +31,8 @@ CROSS_OK = {
     "similarity_quantized_topk",
     "dedup_embedding_cosine",
     "dedup_embedding_groups",
+    # 1-row corpus-size broadcast gating the common-term cutoff
+    "text_top_terms",
 }
 
 # Iterative queries run jobs during construction (connected components);
