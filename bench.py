@@ -110,11 +110,19 @@ def main() -> None:
             1
             if name.startswith("extract")
             or name.startswith("dedup_embedding")
-            or name in ("dedup_groups", "dedup_canonical_keep")
+            or name == "dedup_canonical_keep"
             else repeats
         )
         best = None
         for _ in range(n_runs):
+            # dedup_groups is cache-backed (shared with canonical_keep):
+            # evict before each timed run so min-of-k measures genuine
+            # builds, not the persisted frame; the LAST run leaves the
+            # cache populated for canonical_keep, which — like the other
+            # consumers above — is timed as the consumer it is.
+            if name == "dedup_groups":
+                for k in [k for k in e._FRAME_CACHE if k[2] == "text_groups"]:
+                    e._FRAME_CACHE.pop(k).unpersist()
             t0 = time.time()
             fn(spark, sf_dir).count()
             dt = time.time() - t0
