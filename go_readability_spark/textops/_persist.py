@@ -32,3 +32,27 @@ def scratch_persist(df: DataFrame) -> DataFrame:
     df = df.persist()
     _SCRATCH.append((app, df))
     return df
+
+
+def spread_small(df: DataFrame) -> DataFrame:
+    """Raise a too-coarse input to cluster parallelism before a
+    compute-dense map stage.  A small parquet file scans as one split,
+    serializing per-row compute onto one core regardless of cluster size —
+    measured 2.4-2.7x at local[32] on the embedding pair build (16 masked
+    64-dim dot products per row) and SimHash (60 bit-sums per row).  At
+    real scale the scan already has >= defaultParallelism splits and this
+    is a no-op, so a 10^12-row table is never forced through a gratuitous
+    shuffle; when it does trigger, the shuffle moves only the small frame
+    that caused it.
+
+    Deliberately applied ONLY where the per-row compute dwarfs the
+    repartition + extra plan-analysis cost (embedding pair build, SimHash):
+    A/B at sf0.1 showed every cheaper operator (minhash, shingle explodes,
+    LSH top-k) REGRESSES 1.5-2x when spread, because their real work
+    happens after the first shuffle anyway.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ._persist import scratch_persist
+from ._persist import scratch_persist, spread_small
 
 SHINGLE_K = 3          # words per shingle
 MINHASH_N = 8          # permutations (md5-salted)
@@ -493,7 +493,7 @@ def simhash_docs(documents: DataFrame) -> DataFrame:
         f" AS s{j}"
         for j in range(SIMHASH_BITS)
     ]
-    hashed = documents.select(
+    hashed = spread_small(documents).select(
         "doc_id",
         F.expr(
             f"transform(split(text, ' '), t -> cast(conv(substr(md5(t), 1, {SIMHASH_HEX_CHARS}), 16, 10) as bigint))"

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ._persist import scratch_persist
+from ._persist import scratch_persist, spread_small
 
 N_QUERIES = 8       # vec_id < N_QUERIES form the query set
 TOP_K = 5
@@ -227,8 +227,13 @@ def embedding_near_dup_pairs(
     implements the identical bucketing, so values still match exactly.
     """
     # persist: the self-join would otherwise recompute the signature
-    # subtree (16 dot products per vector) on both sides
-    banded = scratch_persist(_banded(embeddings))
+    # subtree (16 dot products per vector) on both sides.  spread_small:
+    # this is the one embedding path whose per-row compute is dense enough
+    # that a too-coarse scan serializes it (measured 12.1s→5.1s at
+    # local[32] on a 1-split file); no-op at real partition counts, and
+    # deliberately NOT applied to the cheap top-k paths where the extra
+    # shuffle costs more than it recovers (measured 0.55s→1.06s).
+    banded = scratch_persist(_banded(spread_small(embeddings)))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
