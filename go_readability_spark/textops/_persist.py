@@ -38,18 +38,21 @@ def spread_small(df: DataFrame) -> DataFrame:
     """Raise a too-coarse input to cluster parallelism before a
     compute-dense map stage.  A small parquet file scans as one split,
     serializing per-row compute onto one core regardless of cluster size —
-    measured 2.4-2.7x at local[32] on the embedding pair build (16 masked
-    64-dim dot products per row) and SimHash (60 bit-sums per row).  At
-    real scale the scan already has >= defaultParallelism splits and this
-    is a no-op, so a 10^12-row table is never forced through a gratuitous
-    shuffle; when it does trigger, the shuffle moves only the small frame
-    that caused it.
+    measured 2.4-2.7x at local[32] on SimHash (per-word md5 + 60 bit-sums
+    over the full document text).  At real scale the scan already has
+    >= defaultParallelism splits and this is a no-op, so a 10^12-row table
+    is never forced through a gratuitous shuffle; when it does trigger,
+    the shuffle moves only the small frame that caused it.
 
-    Deliberately applied ONLY where the per-row compute dwarfs the
-    repartition + extra plan-analysis cost (embedding pair build, SimHash):
-    A/B at sf0.1 showed every cheaper operator (minhash, shingle explodes,
-    LSH top-k) REGRESSES 1.5-2x when spread, because their real work
-    happens after the first shuffle anyway.
+    Deliberately applied ONLY where the pre-shuffle per-row compute dwarfs
+    the repartition + extra plan-analysis cost (SimHash): A/B at sf0.1
+    showed every cheaper operator (minhash, shingle explodes, LSH top-k)
+    REGRESSES 1.5-2x when spread, because their real work happens after
+    the first shuffle anyway.  The embedding pair build was measured too
+    and removed again: warm-session repeats (2.04s spread vs 1.87s
+    unspread) showed its apparent first-run win was Janino codegen warmup,
+    not serialized compute — A/B this helper with warm-session one-shots
+    only.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism

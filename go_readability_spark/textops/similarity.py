@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ._persist import scratch_persist, spread_small
+from ._persist import scratch_persist
 
 N_QUERIES = 8       # vec_id < N_QUERIES form the query set
 TOP_K = 5
@@ -227,13 +227,14 @@ def embedding_near_dup_pairs(
     implements the identical bucketing, so values still match exactly.
     """
     # persist: the self-join would otherwise recompute the signature
-    # subtree (16 dot products per vector) on both sides.  spread_small:
-    # this is the one embedding path whose per-row compute is dense enough
-    # that a too-coarse scan serializes it (measured 12.1s→5.1s at
-    # local[32] on a 1-split file); no-op at real partition counts, and
-    # deliberately NOT applied to the cheap top-k paths where the extra
-    # shuffle costs more than it recovers (measured 0.55s→1.06s).
-    banded = scratch_persist(_banded(spread_small(embeddings)))
+    # subtree (16 masked sign folds per vector) on both sides.  No
+    # spread_small here: after the mask-fold signature collapse the
+    # per-vector compute is cheap, and warm-session A/B (2.04s spread vs
+    # 1.87s unspread at sf0.1 — first-run gaps were Janino codegen warmup,
+    # not compute) shows the extra exchange buys nothing; the dense work
+    # (the per-pair dot verify) runs after the band shuffle and is
+    # parallel regardless of the scan's split count.
+    banded = scratch_persist(_banded(embeddings))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -245,10 +246,25 @@ def embedding_near_dup_pairs(
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    va = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("qe"))
-    vb = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("ce"))
+    # Norms are per-VECTOR quantities: compute them below the fetch-back
+    # join (2k folds) instead of inside the per-pair cosine (the band join
+    # is deliberately low-precision at this τ, so the verify set is ~1000×
+    # the vector count — 465k pairs × 2 norm folds at sf0.1, 3 interpreted
+    # HOF chains per pair → 1).  The join boundary keeps CollapseProject
+    # from inlining the aliased fold back into the per-pair expression
+    # (CLAUDE.md trap); the value is the identical fold evaluated once, so
+    # cosine stays bit-for-bit equal to the oracle's.
+    norm = F.expr(_NORM.format(col="embedding"))
+    va = embeddings.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("qe"), norm.alias("qnorm")
+    )
+    vb = embeddings.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("ce"), norm.alias("cnorm")
+    )
     return (
-        _with_cosine(cand.join(va, "vec_a").join(vb, "vec_b"))
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn("cosine", F.round(F.expr(_DOT) / (F.col("qnorm") * F.col("cnorm")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
         .orderBy("vec_a", "vec_b")
