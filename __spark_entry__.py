@@ -18,6 +18,7 @@ from go_readability_spark.plans import relational as R
 from go_readability_spark.textops import dedup as D
 from go_readability_spark.textops import similarity as S
 from go_readability_spark.textops import textstats as TS
+from go_readability_spark.textops import urls as U
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -143,6 +144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "dedup_ngram_coverage": lambda spark, sf: D.ngram_coverage(_docs(spark, sf)),
         "dedup_block_removal": lambda spark, sf: D.block_removal(_docs(spark, sf)),
+        "dedup_url": lambda spark, sf: U.url_duplicates(_docs(spark, sf)),
         "dedup_simhash": lambda spark, sf: D.simhash_fingerprints(_docs(spark, sf)),
         "dedup_simhash_hamming": lambda spark, sf: D.simhash_near_dup_pairs(_docs(spark, sf)),
         "text_rolling_fingerprint": lambda spark, sf: D.rolling_fingerprints(_docs(spark, sf)),
@@ -311,6 +313,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_canonical_keep": D.canonical_keep_oracle_sql(),
         "dedup_ngram_coverage": D.ngram_coverage_oracle_sql(),
         "dedup_block_removal": D.block_removal_oracle_sql(),
+        "dedup_url": U.url_duplicates_oracle_sql(),
         "text_top_terms": TS.top_terms_oracle_sql(),
         "text_rolling_fingerprint": D.rolling_fingerprints_oracle_sql(),
         "similarity_cosine_topk": S.cosine_topk_oracle_sql(),

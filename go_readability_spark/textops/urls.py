@@ -1,0 +1,150 @@
+"""URL canonicalization + URL-keyed dedup (crawl-hygiene stage of a
+training-data pipeline: CCNet/RefinedWeb dedup fetched pages by
+normalized URL before any content fingerprinting).
+
+No reference equivalent — the reference (readability.go:265-403) only
+*resolves* relative URIs inside a document; canonicalizing the corpus's
+own fetch URLs is an engine capability the reference never needed.
+
+Canonical form: lowercase scheme+host, default port stripped (:80 for
+http, :443 for https — non-default ports kept), exactly-one-leading-"/"
+path with a single trailing slash removed (root "/" kept), tracking
+query params dropped (utm_* prefix plus an exact-name blocklist),
+surviving params sorted, fragment dropped.
+
+All pure string/array Catalyst expressions — scan-bound, no shuffle
+until the final groupBy(canonical_url); at 100 TB this is a map stage
+plus one hash agg, the same shape as exact dedup (dedup.py:34).
+
+The whole recipe is ONE SQL template rendered per engine (Spark /
+DuckDB differ only in function names), so the oracle is structurally
+the same text — the parity strategy every operator in this package
+uses.  The regex deliberately contains no backslash: Spark SQL string
+literals escape-process backslashes while DuckDB's do not, so a
+backslash-free pattern ([?] instead of an escaped ?) is the only form
+that means the same thing in both parsers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# scheme :// host [:port] [path] [?query] [#fragment] — no backslashes
+# (see module docstring); groups are 1-indexed in both engines.
+_URL_RX = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/:?#]+)(:[0-9]+)?([^?#]*)([?][^#]*)?(#.*)?$"
+
+# Exact-name tracking params (utm_* is handled as a prefix match).
+TRACKING_PARAMS = ("ref", "fbclid", "gclid", "mc_cid", "mc_eid")
+
+_DIALECTS = {
+    "spark": {
+        "filter": "filter",
+        "split": "split",
+        "size": "size",
+        "sort": "array_sort",
+        "join": "array_join",
+        "startswith": "startswith",
+        "endswith": "endswith",
+        "STR": "STRING",
+    },
+    "duckdb": {
+        "filter": "list_filter",
+        "split": "string_split",
+        "size": "len",
+        "sort": "list_sort",
+        "join": "array_to_string",
+        "startswith": "starts_with",
+        "endswith": "ends_with",
+        "STR": "VARCHAR",
+    },
+}
+
+
+def canonical_url_sql(url_expr: str, engine: str) -> str:
+    """Render the canonicalization of ``url_expr`` for ``engine``
+    ('spark' | 'duckdb') as one scalar SQL expression."""
+    d = _DIALECTS[engine]
+    g = lambda n: f"regexp_extract({url_expr}, '{_URL_RX}', {n})"  # noqa: E731
+    scheme = f"lower({g(1)})"
+    host = f"lower({g(2)})"
+    port = g(3)
+    path = g(4)
+    query = g(5)
+    names = ", ".join(f"'{p}'" for p in TRACKING_PARAMS)
+    port_norm = (
+        f"CASE WHEN ({scheme} = 'https' AND {port} = ':443')"
+        f" OR ({scheme} = 'http' AND {port} = ':80') THEN '' ELSE {port} END"
+    )
+    path_norm = (
+        f"CASE WHEN {path} = '' THEN '/'"
+        f" WHEN {path} <> '/' AND {d['endswith']}({path}, '/')"
+        f" THEN substr({path}, 1, length({path}) - 1) ELSE {path} END"
+    )
+    kept = (
+        f"{d['filter']}({d['split']}(substr({query}, 2), '&'),"
+        f" p -> NOT ({d['startswith']}(p, 'utm_')"
+        f" OR split_part(p, '=', 1) IN ({names})))"
+    )
+    q_norm = (
+        f"CASE WHEN {query} = '' THEN ''"
+        f" WHEN {d['size']}({kept}) = 0 THEN ''"
+        f" ELSE '?' || {d['join']}({d['sort']}({kept}), '&') END"
+    )
+    return f"{scheme} || '://' || {host} || {port_norm} || {path_norm} || {q_norm}"
+
+
+def canonical_url_col(url_col: str = "url") -> F.Column:
+    """Spark Column computing the canonical form of a URL column."""
+    return F.expr(canonical_url_sql(url_col, "spark"))
+
+
+def _synth_url_sql(engine: str) -> str:
+    """Deterministic fetch-URL for each (doc_id, source) row — the
+    testdata tables carry no URL column, so the query derives one with
+    the identical expression on both engines.  The derivation is built
+    to exercise every canonicalization rule: mixed scheme/host case,
+    default port, trailing slash, utm_*/ref tracking params arriving in
+    shuffled order, and a fragment; doc_id % 10 path slots per source
+    make genuine URL collisions (re-fetches of the same page)."""
+    s = _DIALECTS[engine]["STR"]
+    return (
+        "CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END || '://' ||"
+        " CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END || '.Example.COM' ||"
+        " CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END ||"
+        f" '/articles/' || CAST(doc_id % 10 AS {s}) ||"
+        " CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||"
+        f" '?utm_source=feed&page=' || CAST(doc_id % 2 AS {s}) ||"
+        " CASE WHEN doc_id % 5 = 0 THEN '&ref=tw' ELSE '' END ||"
+        f" '&utm_campaign=w' || CAST(doc_id AS {s}) ||"
+        f" '#sec' || CAST(doc_id % 3 AS {s})"
+    )
+
+
+def url_duplicates(documents: DataFrame) -> DataFrame:
+    """Canonical-URL duplicate groups: (canonical_url, n_docs, keep_doc)
+    for every URL fetched more than once, keeper = min doc_id (first
+    fetch wins — the standard crawl-dedup survivor rule)."""
+    canon = F.expr(canonical_url_sql(f"({_synth_url_sql('spark')})", "spark"))
+    return (
+        documents.select(canon.alias("canonical_url"), "doc_id")
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("canonical_url")
+    )
+
+
+def url_duplicates_oracle_sql() -> str:
+    canon = canonical_url_sql(f"({_synth_url_sql('duckdb')})", "duckdb")
+    return f"""
+SELECT canonical_url,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS keep_doc
+FROM (SELECT {canon} AS canonical_url, doc_id FROM documents)
+GROUP BY canonical_url
+HAVING count(*) > 1
+ORDER BY canonical_url
+"""
