@@ -149,3 +149,79 @@ def test_streaming_dedup_state_survives_restart(spark, dirs):
     # restored state drops every wave-2 duplicate: total output unchanged
     assert spark.read.parquet(dirs["output"]).count() == 3
     docs.unpersist()
+
+
+def test_windowed_rollup_emits_final_windows_and_drops_late(spark, dirs):
+    """Two-wave event-time rollup: a window is emitted exactly once, when
+    the watermark passes its end; its values equal the batch aggregation
+    of the rows that arrived in time; an event older than the watermark
+    is dropped, never re-opening a closed window."""
+    import datetime as dt
+
+    from go_readability_spark.streaming.windows import (
+        read_event_stream,
+        windowed_event_rollup,
+    )
+
+    def ev(event_id, hh, mm, etype, value):
+        return (
+            event_id,
+            dt.datetime(2024, 1, 1, hh, mm),
+            1,
+            etype,
+            value,
+            "{}",
+        )
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    # wave 1: H0 has two types, H1 one row; max ts 01:45 → watermark 01:15
+    # closes H0 (end 01:00) but not H1
+    wave1 = spark.createDataFrame(
+        [
+            ev(0, 0, 10, "click", 1.5),
+            ev(1, 0, 20, "click", 2.25),
+            ev(2, 0, 30, "view", 4.0),
+            ev(3, 1, 45, "click", 8.0),
+        ],
+        cols,
+    )
+    wave1.write.mode("overwrite").parquet(dirs["input"])
+
+    def drain():
+        q = (
+            windowed_event_rollup(
+                read_event_stream(spark, dirs["input"]), "1 hour", "30 minutes"
+            )
+            .writeStream.format("parquet")
+            .option("path", dirs["output"])
+            .outputMode("append")
+            .option("checkpointLocation", dirs["checkpoint"] + "-w")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    out1 = {
+        (r.hour.hour, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.read.parquet(dirs["output"]).collect()
+    }
+    assert out1 == {(0, "click"): (2, 3.75), (0, "view"): (1, 4.0)}
+
+    # wave 2: an 02:45 row advances the watermark to 02:15 (closes H1);
+    # the 00:30 row is older than the pre-wave watermark 01:15 → dropped
+    wave2 = spark.createDataFrame(
+        [ev(4, 2, 45, "view", 16.0), ev(5, 0, 30, "click", 100.0)], cols
+    )
+    wave2.write.mode("append").parquet(dirs["input"])
+    drain()
+    out2 = {
+        (r.hour.hour, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.read.parquet(dirs["output"]).collect()
+    }
+    # H0 unchanged (late row dropped), H1 now final, H2 still open
+    assert out2 == {
+        (0, "click"): (2, 3.75),
+        (0, "view"): (1, 4.0),
+        (1, "click"): (1, 8.0),
+    }
