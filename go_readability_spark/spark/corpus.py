@@ -263,3 +263,38 @@ def ingest_pdf_documents(df: DataFrame, real_extract=None) -> DataFrame:
     return df.select(*cols).mapInPandas(
         _pdf_batches(real_extract), schema=DOCUMENTS_SCHEMA
     )
+
+
+def _warc_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..codec.warc import warc_html_pages
+
+    for pdf in batches:
+        out = []
+        for row in pdf.itertuples(index=False):
+            payload = bytes(row.content) if row.content is not None else b""
+            for rec_id, uri, html in warc_html_pages(payload):
+                out.append(
+                    {
+                        "doc_id": rec_id,
+                        "uri": uri or FIXTURE_URI,
+                        "spans": [s.as_row() for s in html_to_spans(html)],
+                    }
+                )
+        yield pd.DataFrame(out, columns=["doc_id", "uri", "spans"])
+
+
+def ingest_warc_documents(df: DataFrame) -> DataFrame:
+    """WARC ingest source: a ``binaryFile`` frame (``content`` column =
+    one crawl archive per row, .warc or .warc.gz) → the interleaved-span
+    documents table, one document per HTML response record.
+
+    This is how CommonCrawl-shaped corpora enter the engine:
+    ``spark.read.format("binaryFile").load("s3://.../segment/*.warc.gz")``
+    gives one task per archive (the natural WARC parallelism — archives
+    are ~1 GB and self-contained), and the record scan + HTML decode +
+    span encode all run inside ``mapInPandas`` (``codec/warc.py``), so
+    ingest scales with the archive count and nothing touches the driver.
+    In-batch fan-out (one archive row → many document rows) is the same
+    pattern as ``textops/multimodal.py:sample_frames``.
+    """
+    return df.select("content").mapInPandas(_warc_batches, schema=DOCUMENTS_SCHEMA)

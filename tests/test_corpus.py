@@ -81,3 +81,79 @@ def test_ingest_html_documents_matches_driver_side_codec(spark):
         if r.doc_id in set(names)
     ]
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def _warc_record(rtype, body, uri=None, rec_id=None, extra=None):
+    headers = [f"WARC-Type: {rtype}", f"Content-Length: {len(body)}"]
+    if uri:
+        headers.append(f"WARC-Target-URI: {uri}")
+    if rec_id:
+        headers.append(f"WARC-Record-ID: {rec_id}")
+    if extra:
+        headers.extend(extra)
+    head = "WARC/1.0\r\n" + "\r\n".join(headers) + "\r\n\r\n"
+    return head.encode("utf-8") + body + b"\r\n\r\n"
+
+
+def _http(body_bytes, ctype="text/html; charset=utf-8"):
+    return (
+        f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n\r\n".encode() + body_bytes
+    )
+
+
+def _build_warc():
+    html1 = "<html><body><p>First crawled page &amp; more.</p></body></html>"
+    html2 = "<html><body><div><p>Second page.</p></div></body></html>"
+    return (
+        _warc_record("warcinfo", b"software: synth")
+        + _warc_record("request", b"GET / HTTP/1.1\r\n\r\n", uri="http://a.ex/")
+        + _warc_record(
+            "response", _http(html1.encode()), uri="http://a.ex/one", rec_id="<urn:r:1>"
+        )
+        + _warc_record(
+            "response",
+            _http(b"\x89PNG....", ctype="image/png"),
+            uri="http://a.ex/logo.png",
+            rec_id="<urn:r:2>",
+        )
+        + b"not a warc record at all\r\n"
+        + _warc_record(
+            "response", _http(html2.encode()), uri="http://a.ex/two", rec_id="<urn:r:3>"
+        ),
+        {"<urn:r:1>": ("http://a.ex/one", html1), "<urn:r:3>": ("http://a.ex/two", html2)},
+    )
+
+
+def test_warc_codec_parses_records_and_skips_noise():
+    import gzip
+
+    from go_readability_spark.codec.warc import warc_html_pages
+
+    payload, expect = _build_warc()
+    for variant in (payload, gzip.compress(payload)):
+        got = {rid: (uri, html) for rid, uri, html in warc_html_pages(variant)}
+        assert got == expect
+    assert list(warc_html_pages(b"")) == []
+    assert list(warc_html_pages(b"\x1f\x8btruncated-gzip")) == []
+
+
+def test_ingest_warc_documents_spark(spark, tmp_path):
+    """binaryFile WARC archive → span documents identical to direct HTML
+    ingest of the same pages."""
+    from go_readability_spark.spark.corpus import ingest_warc_documents
+
+    payload, expect = _build_warc()
+    (tmp_path / "crawl.warc").write_bytes(payload)
+    bf = spark.read.format("binaryFile").load(str(tmp_path / "crawl.warc"))
+    docs = ingest_warc_documents(bf).collect()
+    got = {
+        r.doc_id: (
+            r.uri,
+            "".join(s.text for s in sorted(r.spans, key=lambda s: s.offset)),
+        )
+        for r in docs
+    }
+    assert got == {
+        rid: (uri, spans_to_html(html_to_spans(html)))
+        for rid, (uri, html) in expect.items()
+    }
