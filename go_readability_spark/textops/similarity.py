@@ -62,23 +62,35 @@ _DOT = (
 _NORM = "sqrt(aggregate({col}, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double)))"
 
 
+def _norm_col() -> F.Column:
+    """The vector-norm fold, for hoisting BELOW a join: norms are
+    per-vector quantities, but inlined into the cosine they re-run per
+    PAIR — on low-precision candidate sets (the 0.42-τ band join yields
+    ~1000 pairs per vector at sf0.1) that tripled the verify compute.
+    Evaluating the identical fold once per vector keeps the value
+    bit-for-bit equal to the oracle's inline form, and the join boundary
+    stops CollapseProject from re-inlining it (CLAUDE.md trap)."""
+    return F.expr(_NORM.format(col="embedding"))
+
+
 def _with_cosine(pairs: DataFrame) -> DataFrame:
+    """Score a pair frame carrying qe/ce and hoisted qnorm/cnorm."""
     return pairs.withColumn(
         "cosine",
-        F.round(
-            F.expr(_DOT)
-            / (F.expr(_NORM.format(col="qe")) * F.expr(_NORM.format(col="ce"))),
-            6,
-        ),
+        F.round(F.expr(_DOT) / (F.col("qnorm") * F.col("cnorm")), 6),
     )
 
 
 def cosine_topk(embeddings: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K) -> DataFrame:
     q = embeddings.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        _norm_col().alias("qnorm"),
     )
     c = embeddings.filter(F.col("vec_id") >= n_queries).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        _norm_col().alias("cnorm"),
     )
     scored = _with_cosine(F.broadcast(q).crossJoin(c))
     w = Window.partitionBy("query_id").orderBy(
@@ -246,25 +258,20 @@ def embedding_near_dup_pairs(
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    # Norms are per-VECTOR quantities: compute them below the fetch-back
-    # join (2k folds) instead of inside the per-pair cosine (the band join
-    # is deliberately low-precision at this τ, so the verify set is ~1000×
-    # the vector count — 465k pairs × 2 norm folds at sf0.1, 3 interpreted
-    # HOF chains per pair → 1).  The join boundary keeps CollapseProject
-    # from inlining the aliased fold back into the per-pair expression
-    # (CLAUDE.md trap); the value is the identical fold evaluated once, so
-    # cosine stays bit-for-bit equal to the oracle's.
-    norm = F.expr(_NORM.format(col="embedding"))
+    # Norm hoist (see _norm_col): 465k verify pairs at sf0.1 drop from 3
+    # interpreted HOF chains each to 1 — measured 5.35s → 3.0s.
     va = embeddings.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("qe"), norm.alias("qnorm")
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("qe"),
+        _norm_col().alias("qnorm"),
     )
     vb = embeddings.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("ce"), norm.alias("cnorm")
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("ce"),
+        _norm_col().alias("cnorm"),
     )
     return (
-        cand.join(va, "vec_a")
-        .join(vb, "vec_b")
-        .withColumn("cosine", F.round(F.expr(_DOT) / (F.col("qnorm") * F.col("cnorm")), 6))
+        _with_cosine(cand.join(va, "vec_a").join(vb, "vec_b"))
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
         .orderBy("vec_a", "vec_b")
@@ -318,8 +325,16 @@ def lsh_bucketed_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    vq = embeddings.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
-    vc = embeddings.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    vq = embeddings.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        _norm_col().alias("qnorm"),
+    )
+    vc = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        _norm_col().alias("cnorm"),
+    )
     scored = _with_cosine(cand.join(F.broadcast(vq), "query_id").join(vc, "neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -376,7 +391,11 @@ def _ivf_centroids(embeddings: DataFrame) -> DataFrame:
     vectors, so queries never seed the index they search."""
     return embeddings.filter(
         (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + IVF_CLUSTERS)
-    ).select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce"))
+    ).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("ce"),
+        _norm_col().alias("cnorm"),
+    )
 
 
 def ivf_assignments(embeddings: DataFrame) -> DataFrame:
@@ -388,7 +407,9 @@ def ivf_assignments(embeddings: DataFrame) -> DataFrame:
     per candidate, not one per (candidate, centroid).  Ties break toward
     the lowest centroid_id via max(struct(cosine, -centroid_id))."""
     cands = embeddings.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("qe"),
+        _norm_col().alias("qnorm"),
     )
     scored = _with_cosine(cands.crossJoin(F.broadcast(_ivf_centroids(embeddings))))
     return (
@@ -421,18 +442,22 @@ def ivf_topk(
     the query vectors) is broadcast, so list candidates never shuffle to
     meet their queries — only the per-query top-k window moves data."""
     q = embeddings.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        _norm_col().alias("qnorm"),
     )
     probe_scored = _with_cosine(q.crossJoin(F.broadcast(_ivf_centroids(embeddings))))
     pw = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("centroid_id"))
     probes = (
         probe_scored.withColumn("prk", F.row_number().over(pw))
         .filter(F.col("prk") <= nprobe)
-        .select("query_id", "centroid_id", "qe")
+        .select("query_id", "centroid_id", "qe", "qnorm")
     )
     lists = ivf_assignments(embeddings).join(
         embeddings.select(
-            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("ce"),
+            _norm_col().alias("cnorm"),
         ),
         "neighbor_id",
     )
