@@ -104,11 +104,16 @@ def main() -> None:
     # units — measured 2-18s of pure compile noise at sf0.1 (warm-session
     # steady state is ~2s).  A 64-row limit compiles the identical
     # generated classes; same rationale as the python-worker warmup above.
-    from go_readability_spark.textops import similarity as _sim
+    if not only or any(
+        q.startswith(("similarity", "dedup_embedding")) for q in only
+    ):
+        from go_readability_spark.textops import similarity as _sim
 
-    _sim.embedding_near_dup_pairs(
-        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).limit(64)
-    ).count()
+        _sim.embedding_near_dup_pairs(
+            spark.read.parquet(
+                os.path.join(sf_dir, "embeddings.parquet")
+            ).limit(64)
+        ).count()
     repeats = int(os.environ.get("BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
     for name, fn in e.queries().items():

@@ -18,7 +18,9 @@ replaced.
 from __future__ import annotations
 
 import gzip
+import hashlib
 import re
+import zlib
 from collections.abc import Iterator
 
 _GZIP_MAGIC = b"\x1f\x8b"
@@ -32,7 +34,10 @@ def warc_records(payload: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
     if payload[:2] == _GZIP_MAGIC:
         try:
             payload = gzip.decompress(payload)
-        except OSError:
+        # gzip raises EOFError (truncated member) and zlib.error (mid-stream
+        # corruption) as well as OSError/BadGzipFile — all three mean the
+        # same thing under the skip-malformed contract: zero documents.
+        except (OSError, EOFError, zlib.error):
             return
     i, n = 0, len(payload)
     while i < n:
@@ -80,7 +85,10 @@ def http_response_html(body: bytes) -> str | None:
         name, sep, value = line.partition(":")
         if sep and name.strip().lower() == "content-type":
             ctype = value.strip().lower()
-    if ctype and "html" not in ctype:
+    # no Content-Type at all (redirect bodies, misconfigured servers) is
+    # NOT html — decoding arbitrary binary with replacement would inject
+    # mojibake documents into the corpus
+    if "html" not in ctype:
         return None
     charset = "utf-8"
     m = _CHARSET_RX.search(ctype)
@@ -93,18 +101,28 @@ def http_response_html(body: bytes) -> str | None:
         return raw.decode("utf-8", "replace")
 
 
-def warc_html_pages(payload: bytes) -> Iterator[tuple[str, str, str]]:
+def warc_html_pages(
+    payload: bytes, archive_id: str = ""
+) -> Iterator[tuple[str, str, str]]:
     """One WARC file's bytes → (record_id, target_uri, html) per HTML
     response record — the shape ``spark/corpus.ingest_warc_documents``
-    fans out over."""
+    fans out over.
+
+    ``archive_id`` scopes the fallback doc_id for records that carry no
+    WARC-Record-ID: record indexes restart at 0 in every archive, so a
+    bare ``record-{idx}`` would collide across the many archives one
+    ingest job fans out over.  When the caller has no stable identity
+    (e.g. no file path), a payload digest stands in."""
+    fallback_scope: str | None = archive_id or None
     for idx, (headers, body) in enumerate(warc_records(payload)):
         if headers.get("warc-type") != "response":
             continue
         html = http_response_html(body)
         if html is None:
             continue
-        yield (
-            headers.get("warc-record-id", f"record-{idx}"),
-            headers.get("warc-target-uri", ""),
-            html,
-        )
+        rec_id = headers.get("warc-record-id")
+        if not rec_id:
+            if fallback_scope is None:
+                fallback_scope = hashlib.md5(payload).hexdigest()[:12]
+            rec_id = f"{fallback_scope}/record-{idx}"
+        yield rec_id, headers.get("warc-target-uri", ""), html

@@ -270,9 +270,13 @@ def _warc_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
     for pdf in batches:
         out = []
+        has_path = "path" in pdf.columns
         for row in pdf.itertuples(index=False):
             payload = bytes(row.content) if row.content is not None else b""
-            for rec_id, uri, html in warc_html_pages(payload):
+            # binaryFile's path column is the natural per-archive identity
+            # for fallback record ids (indexes restart at 0 per archive)
+            archive_id = (getattr(row, "path", "") or "") if has_path else ""
+            for rec_id, uri, html in warc_html_pages(payload, archive_id):
                 out.append(
                     {
                         "doc_id": rec_id,
@@ -297,4 +301,5 @@ def ingest_warc_documents(df: DataFrame) -> DataFrame:
     In-batch fan-out (one archive row → many document rows) is the same
     pattern as ``textops/multimodal.py:sample_frames``.
     """
-    return df.select("content").mapInPandas(_warc_batches, schema=DOCUMENTS_SCHEMA)
+    cols = ["content"] + (["path"] if "path" in df.columns else [])
+    return df.select(*cols).mapInPandas(_warc_batches, schema=DOCUMENTS_SCHEMA)

@@ -708,7 +708,9 @@ ORDER BY p.doc_id
 
 
 def canonical_keep(
-    documents: DataFrame, max_iters: int = 20, groups: DataFrame | None = None
+    documents: DataFrame,
+    max_iters: int | None = None,
+    groups: DataFrame | None = None,
 ) -> DataFrame:
     """The OUTPUT stage of near-dup dedup: inside every duplicate group
     (connected component of the MinHash-LSH pair graph, dedup_groups),
@@ -736,7 +738,13 @@ def canonical_keep(
     from .textstats import quality_scores
 
     if groups is None:
-        groups = dedup_groups(documents, max_iters)
+        groups = dedup_groups(documents, 20 if max_iters is None else max_iters)
+    elif max_iters is not None:
+        # same conflict guard as similarity.embedding_dedup_groups: a
+        # prebuilt groups frame was labeled at ITS OWN iteration budget, so
+        # silently ignoring max_iters would hide exactly the knob a caller
+        # reaches for after a non-convergence error
+        raise ValueError("pass max_iters OR a prebuilt groups frame, not both")
     q = quality_scores(documents).select("doc_id", "quality_hbp")
     from pyspark.sql import Window
 

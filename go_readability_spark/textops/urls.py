@@ -90,7 +90,13 @@ def canonical_url_sql(url_expr: str, engine: str) -> str:
         f" WHEN {d['size']}({kept}) = 0 THEN ''"
         f" ELSE '?' || {d['join']}({d['sort']}({kept}), '&') END"
     )
-    return f"{scheme} || '://' || {host} || {port_norm} || {path_norm} || {q_norm}"
+    # URLs the pattern can't parse (userinfo, IPv6 hosts, garbage) extract
+    # '' for every group in both engines; without this guard they would ALL
+    # canonicalize to the identical constant ':///' and url_duplicates
+    # would merge every unparseable URL into one duplicate group.  Keep
+    # them verbatim instead: distinct raw strings stay distinct.
+    canon = f"{scheme} || '://' || {host} || {port_norm} || {path_norm} || {q_norm}"
+    return f"CASE WHEN {host} <> '' THEN {canon} ELSE {url_expr} END"
 
 
 def canonical_url_col(url_col: str = "url") -> F.Column:

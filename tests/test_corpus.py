@@ -157,3 +157,48 @@ def test_ingest_warc_documents_spark(spark, tmp_path):
         rid: (uri, spans_to_html(html_to_spans(html)))
         for rid, (uri, html) in expect.items()
     }
+
+
+def test_warc_codec_graceful_on_corrupt_gzip():
+    """Truncated-after-valid-header (EOFError) and mid-stream corruption
+    (zlib.error) must yield zero documents, not escape the task — gzip
+    raises both outside the OSError hierarchy."""
+    import gzip
+
+    from go_readability_spark.codec.warc import warc_html_pages
+
+    payload, _ = _build_warc()
+    gz = gzip.compress(payload)
+    assert list(warc_html_pages(gz[:20])) == []
+    corrupted = gz[:15] + bytes(b ^ 0xFF for b in gz[15:25]) + gz[25:]
+    assert list(warc_html_pages(corrupted)) == []
+
+
+def test_warc_response_without_content_type_is_skipped():
+    """No Content-Type header is NOT html: decoding arbitrary bytes with
+    replacement would inject mojibake documents into the corpus."""
+    from go_readability_spark.codec.warc import warc_html_pages
+
+    body = b"HTTP/1.1 200 OK\r\n\r\n<html><body><p>x</p></body></html>"
+    rec = _warc_record("response", body, uri="http://a.ex/n", rec_id="<urn:r:9>")
+    assert list(warc_html_pages(rec)) == []
+
+
+def test_warc_fallback_ids_unique_across_archives():
+    """Records without WARC-Record-ID restart their index at 0 in every
+    archive; the fallback id must be scoped (path or payload digest) so
+    two archives never share a doc_id."""
+    from go_readability_spark.codec.warc import warc_html_pages
+
+    html_a = "<html><body><p>archive a</p></body></html>"
+    html_b = "<html><body><p>archive b</p></body></html>"
+    arc_a = _warc_record("response", _http(html_a.encode()), uri="http://a.ex/")
+    arc_b = _warc_record("response", _http(html_b.encode()), uri="http://b.ex/")
+    ids_a = [rid for rid, _, _ in warc_html_pages(arc_a)]
+    ids_b = [rid for rid, _, _ in warc_html_pages(arc_b)]
+    assert ids_a and ids_b
+    assert set(ids_a).isdisjoint(ids_b)
+    # an explicit archive identity (binaryFile path) scopes deterministically
+    assert [rid for rid, _, _ in warc_html_pages(arc_a, "file:/seg/x.warc")] == [
+        "file:/seg/x.warc/record-0"
+    ]
