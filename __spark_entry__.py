@@ -74,11 +74,20 @@ def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_readability_spark.spark.corpus import synthesize_documents
     from go_readability_spark.spark.extract import route_and_extract
 
+    # num_partitions: the input here is a COMPUTED frame (mapInPandas page
+    # synthesis), not a bucketed parquet scan — the no-shuffle two-branch
+    # union would re-run the whole synthesis once per branch.  The salted
+    # exchange routes megas and smalls in ONE scan of the synth output
+    # (extract.py route_and_extract docstring), and the shuffle it pays
+    # moves freshly-built spans that were never laid out on disk anyway.
     return _session_cached(
         spark,
         sf_dir,
         "articles",
-        lambda: route_and_extract(synthesize_documents(spark, sf_dir)),
+        lambda: route_and_extract(
+            synthesize_documents(spark, sf_dir),
+            num_partitions=spark.sparkContext.defaultParallelism,
+        ),
     )
 
 

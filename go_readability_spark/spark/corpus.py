@@ -174,7 +174,18 @@ def synthesize_documents(
     if replicate > 1:
         src = src.withColumn(
             "rep", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1)))
-        ).repartition(max(32, replicate))
+        )
+    # A small single-file text table arrives as ONE input split, which
+    # would run page synthesis AND the downstream in-place extraction on
+    # one task (measured 13.3s -> 1.7s for extract_articles at sf0.1 /
+    # local[32] after the spread).  Repartition HERE, before any spans
+    # exist — the shuffle moves raw text rows, the cheapest point in the
+    # pipeline — and only when the scan is actually under-split, so a
+    # well-bucketed many-file corpus keeps its layout (CLAUDE.md: never
+    # shuffle a well-bucketed corpus before extraction).
+    target = max(spark.sparkContext.defaultParallelism, replicate)
+    if len(src.inputFiles()) < target:
+        src = src.repartition(target)
     return src.mapInPandas(_synth_batches, schema=DOCUMENTS_SCHEMA)
 
 
