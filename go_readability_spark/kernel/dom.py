@@ -748,11 +748,147 @@ class _DOMBuilder(_HTMLParser):
             self._finish_element(self.stack.pop())
 
 
+class _Abort(Exception):
+    """Fast scanner hit a construct outside its proven-equivalent subset."""
+
+
+# -- fast-path tokenizer ------------------------------------------------------
+#
+# ``html.parser``'s goahead/parse_starttag machinery dominates kernel parse
+# time (~40% profiled).  This scanner handles the WELL-FORMED subset with one
+# compiled match per tag and raises _Abort on anything outside it, at which
+# point parse_html falls back to the stock feed() path — so documents with
+# quirky markup get byte-identical handling by construction, and documents in
+# the subset get provably identical events (each pattern below consumes the
+# exact span the corresponding html.parser 3.11 regex would: tag-name /
+# attr-name / value classes are strict SUBSETS of tagfind_tolerant /
+# attrfind_tolerant, the end-tag pattern IS endtagfind, the comment close IS
+# _markupbase's ``--\s*>``, and the raw-text end pattern IS set_cdata_mode's).
+# Possessive quantifiers (3.11+) make non-matching tags fail without
+# backtracking.  Serializer output (the normalize-spans reparse) is always in
+# the subset, so round-trip reparses take the fast path unconditionally.
+#
+# Aborting constructs: <! other than <!doctype/<!--, <?, tags with unquoted
+# '/'-or-'<'-bearing values, bare '=' values, '=+' indicators, truncated
+# tags/comments at EOF — all rare in real corpora, absent from synth pages.
+
+_FAST_START = re.compile(
+    r"<([a-zA-Z][-a-zA-Z0-9._:]*+)"  # tag name: subset of tagfind_tolerant
+    r"((?:\s++[^\s/>=\"'<]++"  # attr name: subset of attrfind_tolerant
+    r"(?:\s*+=\s*+(?:\"[^\"]*+\"|'[^']*+'|[^\s>\"'`=</]++))?+)*+)"
+    r"\s*+(/?+)>"
+)
+# attr splitter over the validated attrs span (group 2 of _FAST_START)
+_FAST_ATTR = re.compile(
+    r"\s++([^\s/>=\"'<]++)(?:\s*+=\s*+(\"[^\"]*+\"|'[^']*+'|[^\s>\"'`=</]++))?+"
+)
+# identical to html.parser's endtagfind
+_FAST_END = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+# identical to _markupbase's _commentclose
+_FAST_COMMENT_CLOSE = re.compile(r"--\s*>")
+# identical to set_cdata_mode's per-element pattern
+_FAST_CDATA_END = {
+    elem: re.compile(rf"</\s*{elem}\s*>", re.I)
+    for elem in _DOMBuilder.CDATA_CONTENT_ELEMENTS
+}
+
+from html import unescape as _unescape_html  # noqa: E402 (html.parser's attr decode)
+
+
+def _fast_scan(s: str, b: _DOMBuilder) -> None:
+    """Drive ``b``'s handler methods over ``s`` exactly as one
+    ``feed(s)`` + ``close()`` would, or raise _Abort."""
+    i, n = 0, len(s)
+    hd = b.handle_data
+    find = s.find
+    start_m = _FAST_START.match
+    end_m = _FAST_END.match
+    cdata_set = b.CDATA_CONTENT_ELEMENTS
+    while i < n:
+        j = find("<", i)
+        if j < 0:
+            hd(s[i:])
+            return
+        if j > i:
+            hd(s[i:j])
+        c = s[j + 1 : j + 2]
+        if ("a" <= c <= "z") or ("A" <= c <= "Z"):
+            m = start_m(s, j)
+            if m is None:
+                raise _Abort
+            tag = m.group(1).lower()
+            raw_attrs = m.group(2)
+            attrs: list[tuple[str, str | None]] = []
+            if raw_attrs:
+                for am in _FAST_ATTR.finditer(raw_attrs):
+                    v = am.group(2)
+                    if v is not None:
+                        if v[0] in "\"'":
+                            v = v[1:-1]
+                        if "&" in v:
+                            v = _unescape_html(v)
+                    attrs.append((am.group(1).lower(), v))
+            i = m.end()
+            if m.group(3):
+                b.handle_startendtag(tag, attrs)
+            else:
+                b.handle_starttag(tag, attrs)
+                if tag in cdata_set:
+                    em = _FAST_CDATA_END[tag].search(s, i)
+                    if em is None:
+                        # unterminated raw text: goahead parks in cdata mode
+                        # and the tail is never emitted — drop it identically
+                        return
+                    if em.start() > i:
+                        hd(s[i : em.start()])
+                    b.handle_endtag(tag)
+                    i = em.end()
+        elif c == "/":
+            m = end_m(s, j)
+            if m is None:
+                raise _Abort
+            b.handle_endtag(m.group(1).lower())
+            i = m.end()
+        elif c == "!":
+            if s.startswith("<!--", j):
+                cm = _FAST_COMMENT_CLOSE.search(s, j + 4)
+                if cm is None:
+                    raise _Abort
+                b.handle_comment(s[j + 4 : cm.start()])
+                i = cm.end()
+            elif s[j : j + 9].lower() == "<!doctype":
+                g = find(">", j + 9)
+                if g < 0:
+                    raise _Abort
+                b.handle_decl(s[j + 2 : g])
+                i = g + 1
+            else:
+                raise _Abort
+        elif c == "?":
+            raise _Abort
+        else:
+            # '<' + non-markup char, or trailing '<' at EOF: literal data
+            # (goahead's handle_data("<") branch / close()'s tail flush)
+            hd("<")
+            i = j + 1
+
+
+# observability for tests/benchmarks: how often the fast path holds
+PARSE_STATS = {"fast": 0, "fallback": 0}
+
+
 def parse_html(html_src: str, url: str = "") -> Node:
     """Parse an HTML string into a document node (domparser.go:1133-1155)."""
     doc = new_document(url)
     builder = _DOMBuilder(doc)
-    builder.feed(html_src)
+    try:
+        _fast_scan(html_src, builder)
+        PARSE_STATS["fast"] += 1
+    except _Abort:
+        PARSE_STATS["fallback"] += 1
+        doc = new_document(url)
+        builder = _DOMBuilder(doc)
+        builder.feed(html_src)
     builder.finish()
 
     if doc.document_element is not None:

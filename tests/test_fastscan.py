@@ -1,0 +1,190 @@
+"""Fast-path tokenizer equivalence (kernel/dom.py _fast_scan).
+
+The fast scanner must produce the EXACT event stream html.parser's feed()
+path would for every document it accepts — anything else must raise
+_Abort so parse_html falls back.  These tests compare full deep tree
+equality (tags, attributes, text, structure, captured doc fields)
+between the two paths over the golden corpus, an adversarial quirk set,
+and randomized fragment soup.
+"""
+
+from __future__ import annotations
+
+import glob
+
+from hypothesis import given, settings, strategies as st
+
+from go_readability_spark.kernel import dom
+
+
+def _both(src: str):
+    d1 = dom.new_document("")
+    b1 = dom._DOMBuilder(d1)
+    aborted = False
+    try:
+        dom._fast_scan(src, b1)
+    except dom._Abort:
+        aborted = True
+    b1.finish()
+    d2 = dom.new_document("")
+    b2 = dom._DOMBuilder(d2)
+    b2.feed(src)
+    b2.finish()
+    return d1, d2, aborted
+
+
+def _deep_eq(a, b) -> bool:
+    if a.node_type != b.node_type:
+        return False
+    if a.node_type == dom.ELEMENT_NODE and (
+        a.tag_name != b.tag_name or a.attributes != b.attributes
+    ):
+        return False
+    if a.node_type == dom.TEXT_NODE and (a._inner_html or "") != (
+        b._inner_html or ""
+    ):
+        return False
+    if a.node_type == dom.DOCUMENT_NODE and (a.title or "") != (b.title or ""):
+        return False
+    if len(a.child_nodes) != len(b.child_nodes):
+        return False
+    return all(_deep_eq(x, y) for x, y in zip(a.child_nodes, b.child_nodes))
+
+
+def _assert_equivalent(src: str) -> bool:
+    """True if the fast path handled it; always asserts equivalence."""
+    d1, d2, aborted = _both(src)
+    if aborted:
+        return False  # fallback IS the feed path: equivalent by construction
+    assert _deep_eq(d1, d2), f"fast/feed divergence on {src[:120]!r}"
+    return True
+
+
+ADVERSARIAL = [
+    "",
+    "plain text only",
+    "<",
+    "a<",
+    "<p>x",
+    "<p>a < b and c > d</p>",
+    "<p>< 5 apples</p>",
+    "<!DOCTYPE html><html><head><title>T &amp; t</title></head>"
+    "<body><p>x</p></body></html>",
+    "<!doctype HTML ><p>y</p>",
+    "<!-- c --><p>z</p>",
+    "<!--unterminated",
+    "<!-- -- ><p>in comment?--><p>after</p>",
+    "<TITLE>UP</TITLE>",
+    "<title>a<b</title>",
+    "<title>no end",
+    "<style>p { color: red; } </STYLE ><p>q</p>",
+    "<textarea><p>not tags</p></textarea>",
+    "<iframe>raw</iframe><xmp><b>x</b></xmp><noembed>n</noembed>"
+    "<noframes>f</noframes>",
+    "<script>if (a<b) { x(); }</script>",
+    "<noscript><img src='x'></noscript>",
+    '<p class="a b" id=\'i\' data-x=y hidden>t</p>',
+    '<a href="?a=1&amp;b=2">l</a>',
+    '<a title="x &lt; y &#65; &unknown;">l</a>',
+    "<br/><br /><hr/>",
+    '<span attr = "v" >s</span>',
+    '<div foo bar="">e</div>',
+    "<div a='1' a='2'>dup</div>",
+    "<p>über ünïcode ✓</p>",
+    "<p>&#x2713; &#10003; &amp; &bogus;</p>",
+    '<my-tag x="1">c</my-tag>',
+    "<ns:tag>c</ns:tag></ns:tag>",
+    "<div><p>mismatched</div></p>",
+    "</div>stray end</p>",
+    '<div attr="multi\nline">m</div>',
+    "<p>trailing <",
+    "<?xml version='1.0'?><p>pi</p>",
+    "<![CDATA[raw]]><p>c</p>",
+    "<!weird><p>after</p>",
+    "<div/ ><p>odd</p>",
+    "<div =bare>x</div>",
+    "<a href=/rel>r</a>",
+    "<a b==c>x</a>",
+    "<a b=>empty</a>",
+    "<p></P></p>",
+    "<title>a</title><title>b</title>",
+    "<div a<b>strange</div>",
+    "<div a\x00b='1'>nul</div>",
+]
+
+
+def test_fastscan_adversarial_equivalence():
+    for src in ADVERSARIAL:
+        _assert_equivalent(src)
+
+
+def test_fastscan_golden_corpus_equivalence():
+    """Every golden source AND expected fragment: fast path (when taken)
+    builds the identical tree; abort rate stays a minority."""
+    files = sorted(glob.glob("/root/reference/testdata/test-pages/*/*.html"))
+    assert files, "golden corpus not found"
+    fast = 0
+    for f in files:
+        src = open(f, encoding="utf-8").read()
+        if _assert_equivalent(src):
+            fast += 1
+    # quirky fixtures legitimately fall back; most of the corpus must not
+    assert fast >= len(files) * 0.7, (fast, len(files))
+
+
+def test_fastscan_covers_synth_and_serializer_output():
+    """Bench pages and serializer round-trip output are always in the
+    fast subset — the paths the throughput number depends on."""
+    from go_readability_spark.spark.corpus import synth_html
+
+    page = synth_html(7, "Body text & more < less.", "en", "src")
+    before = dict(dom.PARSE_STATS)
+    doc = dom.parse_html(page)
+    assert dom.PARSE_STATS["fast"] == before["fast"] + 1
+    body = doc.get_elements_by_tag_name("body")[0]
+    reparsed = dom.parse_html(body.get_inner_html())
+    assert dom.PARSE_STATS["fast"] == before["fast"] + 2
+    assert dom.PARSE_STATS["fallback"] == before["fallback"]
+    assert reparsed is not None
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(
+            [
+                "<p>",
+                "</p>",
+                '<div class="x">',
+                "</div>",
+                "text ",
+                "&amp;",
+                "<",
+                ">",
+                '"',
+                "'",
+                "<!-- c -->",
+                "<br/>",
+                "<title>t</title>",
+                "<b",
+                "=",
+                '<a href="u?a=1&b=2">',
+                "</a>",
+                "<style>s</style>",
+                " x=y",
+                "/",
+                "!",
+                "<script>a<b</script>",
+                "&#65;",
+                "\n",
+                "<em>",
+                "</em>",
+                "<IMG SRC=Z>",
+            ]
+        ),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_fastscan_fragment_soup(parts):
+    _assert_equivalent("".join(parts))
