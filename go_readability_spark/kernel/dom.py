@@ -772,15 +772,29 @@ class _Abort(Exception):
 # '/'-or-'<'-bearing values, bare '=' values, '=+' indicators, truncated
 # tags/comments at EOF — all rare in real corpora, absent from synth pages.
 
+# Two boundary rules keep this a true subset of html.parser's tokens:
+# 1. The char RIGHT AFTER the tag name must be ASCII whitespace, '/' or
+#    '>' — tagfind_tolerant's name class excludes only ASCII \t\n\r\f
+#    space / > \x00, so a Unicode space (NBSP, \x0b,  ) there is
+#    eaten INTO the name by feed(); Python's Unicode-aware \s would
+#    treat it as a separator and silently build a different tree.
+#    Requiring an ASCII-ws first char per separator run (deeper \s is
+#    fine: attrfind's own separators are Unicode \s) forces those
+#    documents to _Abort instead.
+# 2. Bare (unquoted) attribute values INCLUDE '/' — attrfind_tolerant's
+#    value class is [^>\s]*, so feed() parses <meta charset=utf-8/> as
+#    an OPEN tag whose value is 'utf-8/'; excluding '/' here would let
+#    (/?+)> claim it as self-closing and silently diverge.
 _FAST_START = re.compile(
     r"<([a-zA-Z][-a-zA-Z0-9._:]*+)"  # tag name: subset of tagfind_tolerant
-    r"((?:\s++[^\s/>=\"'<]++"  # attr name: subset of attrfind_tolerant
-    r"(?:\s*+=\s*+(?:\"[^\"]*+\"|'[^']*+'|[^\s>\"'`=</]++))?+)*+)"
-    r"\s*+(/?+)>"
+    r"((?:[\t\n\r\f ]\s*+[^\s/>=\"'<]++"  # attr name: subset of attrfind_tolerant
+    r"(?:\s*+=\s*+(?:\"[^\"]*+\"|'[^']*+'|[^\s>\"'`=<]++))?+)*+)"
+    r"(?:[\t\n\r\f ]\s*+)?+(/?+)>"
 )
 # attr splitter over the validated attrs span (group 2 of _FAST_START)
 _FAST_ATTR = re.compile(
-    r"\s++([^\s/>=\"'<]++)(?:\s*+=\s*+(\"[^\"]*+\"|'[^']*+'|[^\s>\"'`=</]++))?+"
+    r"[\t\n\r\f ]\s*+([^\s/>=\"'<]++)"
+    r"(?:\s*+=\s*+(\"[^\"]*+\"|'[^']*+'|[^\s>\"'`=<]++))?+"
 )
 # identical to html.parser's endtagfind
 _FAST_END = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")

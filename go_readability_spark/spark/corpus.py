@@ -177,8 +177,10 @@ def synthesize_documents(
         )
     # A small single-file text table arrives as ONE input split, which
     # would run page synthesis AND the downstream in-place extraction on
-    # one task (measured 13.3s -> 1.7s for extract_articles at sf0.1 /
-    # local[32] after the spread).  Repartition HERE, before any spans
+    # one task (extract_articles at sf0.1/local[32]: 13.3s -> 6.4s from
+    # this spread alone — the two-branch union still re-ran synthesis
+    # per branch — and -> 3.5s combined with the salted single-scan
+    # exchange in __spark_entry__._extracted).  Repartition HERE, before any spans
     # exist — the shuffle moves raw text rows, the cheapest point in the
     # pipeline — and only when the scan is actually under-split, so a
     # well-bucketed many-file corpus keeps its layout (CLAUDE.md: never

@@ -110,6 +110,24 @@ ADVERSARIAL = [
     "<title>a</title><title>b</title>",
     "<div a<b>strange</div>",
     "<div a\x00b='1'>nul</div>",
+    # review findings: unquoted value swallowed by '/>' (attrfind's bare
+    # value class includes '/'), and Unicode whitespace after a tag name
+    # (tagfind's name class excludes only ASCII ws, so feed() eats it
+    # into the NAME — the fast path must match or abort)
+    "<meta charset=utf-8/><p>y</p>",
+    "<img src=x.png/><br clear=all/>",
+    "<div\xa0id=a>y</div>",
+    "<div\x0bid=a>y</div>",
+    "<div\x85id=a>y</div>",
+    "<div id=a>y</div>",
+    "<div\xa0>y</div>",
+    "<a href=x/y>l</a>",
+    "<a b=1/ c=2>l</a>",
+    "<a b=//>l</a>",
+    "<a b=/>l</a>",
+    '<a b="1"\xa0c="2">l</a>',
+    "<a b=1\x0bc=2>l</a>",
+    '<a b="1"/>',
 ]
 
 
@@ -180,6 +198,14 @@ def test_fastscan_covers_synth_and_serializer_output():
                 "<em>",
                 "</em>",
                 "<IMG SRC=Z>",
+                "\xa0",
+                "\x0b",
+                "/>",
+                "<meta charset=utf-8/>",
+                "<a b=c/",
+                "d=e",
+                "<div\xa0",
+                "=utf-8/",
             ]
         ),
         min_size=0,
