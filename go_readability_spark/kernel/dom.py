@@ -800,6 +800,10 @@ _FAST_ATTR = re.compile(
 _FAST_END = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
 # identical to _markupbase's _commentclose
 _FAST_COMMENT_CLOSE = re.compile(r"--\s*>")
+# identical to _markupbase's _declname_match / section closers
+_FAST_DECLNAME = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*\s*").match
+_FAST_MARKED_CLOSE = re.compile(r"]\s*]\s*>")
+_FAST_MS_MARKED_CLOSE = re.compile(r"]\s*>")
 # identical to set_cdata_mode's per-element pattern
 _FAST_CDATA_END = {
     elem: re.compile(rf"</\s*{elem}\s*>", re.I)
@@ -869,6 +873,26 @@ def _fast_scan(s: str, b: _DOMBuilder) -> None:
                 if cm is None:
                     raise _Abort
                 b.handle_comment(s[j + 4 : cm.start()])
+                i = cm.end()
+            elif s.startswith("<![", j):
+                # _markupbase.parse_marked_section: <![CDATA[..]]> et al.
+                # (CDATA blocks inside scripts are common — script content
+                # is tokenized as markup in this builder).  A name the
+                # stock path would AssertionError on aborts instead: the
+                # fallback then raises identically, behavior preserved.
+                nm = _FAST_DECLNAME(s, j + 3)
+                if nm is None or nm.end() == n:
+                    raise _Abort
+                sect = nm.group().strip().lower()
+                if sect in ("temp", "cdata", "ignore", "include", "rcdata"):
+                    cm = _FAST_MARKED_CLOSE.search(s, j + 3)
+                elif sect in ("if", "else", "endif"):
+                    cm = _FAST_MS_MARKED_CLOSE.search(s, j + 3)
+                else:
+                    raise _Abort
+                if cm is None:
+                    raise _Abort
+                b.unknown_decl(s[j + 3 : cm.start()])
                 i = cm.end()
             elif s[j : j + 9].lower() == "<!doctype":
                 g = find(">", j + 9)

@@ -28,9 +28,17 @@ def _both(src: str):
     b1.finish()
     d2 = dom.new_document("")
     b2 = dom._DOMBuilder(d2)
-    b2.feed(src)
-    b2.finish()
-    return d1, d2, aborted
+    feed_raised = False
+    try:
+        b2.feed(src)
+        b2.finish()
+    except AssertionError:
+        # the STOCK parser raises on some malformed marked sections
+        # (<![ with no name token); parse_document maps it to
+        # 'parse_error'.  The fast path must abort there so the fallback
+        # raises identically.
+        feed_raised = True
+    return d1, d2, aborted, feed_raised
 
 
 def _deep_eq(a, b) -> bool:
@@ -53,7 +61,10 @@ def _deep_eq(a, b) -> bool:
 
 def _assert_equivalent(src: str) -> bool:
     """True if the fast path handled it; always asserts equivalence."""
-    d1, d2, aborted = _both(src)
+    d1, d2, aborted, feed_raised = _both(src)
+    if feed_raised:
+        assert aborted, f"fast path accepted input the stock path raises on: {src[:120]!r}"
+        return False
     if aborted:
         return False  # fallback IS the feed path: equivalent by construction
     assert _deep_eq(d1, d2), f"fast/feed divergence on {src[:120]!r}"
@@ -128,6 +139,19 @@ ADVERSARIAL = [
     '<a b="1"\xa0c="2">l</a>',
     "<a b=1\x0bc=2>l</a>",
     '<a b="1"/>',
+    # marked sections (_markupbase.parse_marked_section parity)
+    "<script>/*<![CDATA[*/ var x = 1; /*]]>*/</script>",
+    "<![CDATA[raw text]]>",
+    "<![CDATA[a]] ]> b]]>",
+    "<![cdata[x]]>",
+    "<![INCLUDE[y]]>",
+    "<![if !IE]>z<![endif]>",
+    "<![CDATA[unterminated",
+    "<![",
+    "<![ bad]]>",
+    "<![weird[x]]>",
+    "<![RCDATA[q]] >",
+    "<![TEMP[t] ] >",
 ]
 
 
@@ -146,8 +170,8 @@ def test_fastscan_golden_corpus_equivalence():
         src = open(f, encoding="utf-8").read()
         if _assert_equivalent(src):
             fast += 1
-    # quirky fixtures legitimately fall back; most of the corpus must not
-    assert fast >= len(files) * 0.7, (fast, len(files))
+    # only genuinely broken markup (attr-soup quote nesting) falls back
+    assert fast >= len(files) * 0.9, (fast, len(files))
 
 
 def test_fastscan_covers_synth_and_serializer_output():
@@ -206,6 +230,13 @@ def test_fastscan_covers_synth_and_serializer_output():
                 "d=e",
                 "<div\xa0",
                 "=utf-8/",
+                "]",
+                "]]>",
+                "<![CDATA[",
+                "<![if x]>",
+                "<![",
+                "]>",
+                "[",
             ]
         ),
         min_size=0,
