@@ -179,6 +179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": lambda spark, sf: TS.repetition_signals(_docs(spark, sf)),
         "text_length_quantiles": lambda spark, sf: TS.length_quantiles(_docs(spark, sf)),
         "text_pii_scrub": lambda spark, sf: P.pii_findings(_docs(spark, sf)),
+        "corpus_mixture": lambda spark, sf: TS.corpus_mixture(_docs(spark, sf)),
         "training_corpus_funnel": lambda spark, sf: TS.training_corpus_funnel(_docs(spark, sf)),
         # extraction surface (non-SQL-expressible: kernel inside mapInPandas;
         # correctness gated by the 119-fixture golden suite under pytest, and
@@ -343,6 +344,7 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": TS.repetition_signals_oracle_sql(),
         "text_length_quantiles": TS.length_quantiles_oracle_sql(),
         "text_pii_scrub": P.pii_findings_oracle_sql(),
+        "corpus_mixture": TS.corpus_mixture_oracle_sql(),
         "training_corpus_funnel": TS.training_corpus_funnel_oracle_sql(),
         # The kernel is not SQL-expressible, so the extraction-chained
         # queries get PINNED-CONSTANT oracles: expected values computed once

@@ -677,3 +677,82 @@ SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
 FROM ranked WHERE rank <= {k}
 ORDER BY doc_id, rank
 """
+
+
+# mixture packing: per-source token budgets (cycled over 3 tiers so the
+# packer genuinely truncates every tier at the test scales)
+MIXTURE_BASE_BUDGET = 400
+
+
+def corpus_mixture(documents: DataFrame) -> DataFrame:
+    """Deterministic data-mixture construction: pack each source up to a
+    per-source TOKEN budget, admitting documents in md5-hash order until
+    the next one would exceed it — the "sample source A at weight w_A"
+    stage that turns a deduped corpus into a training mixture (every
+    LLM data recipe publishes exactly this table).
+
+    No reference equivalent (corpus tier).  No ``rand()``: the admission
+    order is the same md5 recipe as ``stratified_sample``, so a re-run,
+    a different partitioning, or the DuckDB oracle all pick the SAME
+    documents.  Budgets here derive from the numeric source suffix
+    (three tiers); a production caller passes its own weights table.
+
+    Scale shape: one window per source (cumulative token sum in hash
+    order) — the partition key is the source, so skew follows source
+    size; at 100 TB you'd pre-aggregate per (source, hash-bucket) and
+    pack bucket subtotals first, which this operator's rollup output is
+    already shaped for.  Returns (source, budget_tokens, n_docs_kept,
+    tokens_kept) ordered by source; tokens_kept never exceeds budget.
+    """
+    from pyspark.sql import Window
+
+    num = F.expr("cast(substr(source, 4) as int)")
+    budget = (F.lit(MIXTURE_BASE_BUDGET) * (1 + F.pmod(num, F.lit(3)))).cast("long")
+    key = F.expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)"
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(key.asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = documents.select(
+        "source",
+        "doc_id",
+        budget.alias("budget_tokens"),
+        F.size(F.split(F.col("text"), " ")).alias("n_words"),
+    ).withColumn("cum_tokens", F.sum("n_words").over(w))
+    return (
+        packed.filter(F.col("cum_tokens") <= F.col("budget_tokens"))
+        .groupBy("source", "budget_tokens")
+        .agg(
+            F.count("*").alias("n_docs_kept"),
+            F.sum("n_words").cast("long").alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+def corpus_mixture_oracle_sql() -> str:
+    return f"""
+WITH sized AS (
+  SELECT source, doc_id,
+         CAST({MIXTURE_BASE_BUDGET} * (1 + CAST(substr(source, 4) AS INT) % 3) AS BIGINT)
+           AS budget_tokens,
+         len(string_split(text, ' ')) AS n_words,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS key
+  FROM documents
+), packed AS (
+  SELECT source, budget_tokens, n_words,
+         sum(n_words) OVER (PARTITION BY source ORDER BY key ASC, doc_id ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tokens
+  FROM sized
+)
+SELECT source, budget_tokens,
+       count(*) AS n_docs_kept,
+       CAST(sum(n_words) AS BIGINT) AS tokens_kept
+FROM packed WHERE cum_tokens <= budget_tokens
+GROUP BY source, budget_tokens
+ORDER BY source
+"""
