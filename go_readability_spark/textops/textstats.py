@@ -703,9 +703,10 @@ def corpus_mixture(documents: DataFrame) -> DataFrame:
     pack bucket subtotals first, which this operator's rollup output is
     already shaped for.  Returns (source, budget_tokens, n_docs_kept,
     tokens_kept) ordered by source; tokens_kept never exceeds budget.
+    A source whose cheapest document alone exceeds its budget still
+    gets a row (zeros) — conditional aggregation, not a pre-filter, so
+    "present but fully excluded" is distinguishable from "absent".
     """
-    from pyspark.sql import Window
-
     num = F.expr("cast(substr(source, 4) as int)")
     budget = (F.lit(MIXTURE_BASE_BUDGET) * (1 + F.pmod(num, F.lit(3)))).cast("long")
     key = F.expr(
@@ -722,12 +723,12 @@ def corpus_mixture(documents: DataFrame) -> DataFrame:
         budget.alias("budget_tokens"),
         F.size(F.split(F.col("text"), " ")).alias("n_words"),
     ).withColumn("cum_tokens", F.sum("n_words").over(w))
+    kept = (F.col("cum_tokens") <= F.col("budget_tokens")).cast("long")
     return (
-        packed.filter(F.col("cum_tokens") <= F.col("budget_tokens"))
-        .groupBy("source", "budget_tokens")
+        packed.groupBy("source", "budget_tokens")
         .agg(
-            F.count("*").alias("n_docs_kept"),
-            F.sum("n_words").cast("long").alias("tokens_kept"),
+            F.sum(kept).alias("n_docs_kept"),
+            F.sum(F.col("n_words") * kept).cast("long").alias("tokens_kept"),
         )
         .orderBy("source")
     )
@@ -750,9 +751,11 @@ WITH sized AS (
   FROM sized
 )
 SELECT source, budget_tokens,
-       count(*) AS n_docs_kept,
-       CAST(sum(n_words) AS BIGINT) AS tokens_kept
-FROM packed WHERE cum_tokens <= budget_tokens
+       CAST(sum(CASE WHEN cum_tokens <= budget_tokens THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_kept,
+       CAST(sum(CASE WHEN cum_tokens <= budget_tokens THEN n_words ELSE 0 END) AS BIGINT)
+         AS tokens_kept
+FROM packed
 GROUP BY source, budget_tokens
 ORDER BY source
 """
