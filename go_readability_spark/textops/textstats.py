@@ -684,7 +684,9 @@ ORDER BY doc_id, rank
 MIXTURE_BASE_BUDGET = 400
 
 
-def corpus_mixture(documents: DataFrame) -> DataFrame:
+def corpus_mixture(
+    documents: DataFrame, budget: F.Column | None = None
+) -> DataFrame:
     """Deterministic data-mixture construction: pack each source up to a
     per-source TOKEN budget, admitting documents in md5-hash order until
     the next one would exceed it — the "sample source A at weight w_A"
@@ -694,8 +696,10 @@ def corpus_mixture(documents: DataFrame) -> DataFrame:
     No reference equivalent (corpus tier).  No ``rand()``: the admission
     order is the same md5 recipe as ``stratified_sample``, so a re-run,
     a different partitioning, or the DuckDB oracle all pick the SAME
-    documents.  Budgets here derive from the numeric source suffix
-    (three tiers); a production caller passes its own weights table.
+    documents.  The default budget derives from the numeric 'srcN'
+    suffix of the testdata sources (three tiers — and is NOT portable:
+    non-srcN labels cast to NULL); pass ``budget`` (any Column, e.g. a
+    joined weights-table value or a constant) for real corpora.
 
     Scale shape: one window per source (cumulative token sum in hash
     order) — the partition key is the source, so skew follows source
@@ -707,8 +711,10 @@ def corpus_mixture(documents: DataFrame) -> DataFrame:
     gets a row (zeros) — conditional aggregation, not a pre-filter, so
     "present but fully excluded" is distinguishable from "absent".
     """
-    num = F.expr("cast(substr(source, 4) as int)")
-    budget = (F.lit(MIXTURE_BASE_BUDGET) * (1 + F.pmod(num, F.lit(3)))).cast("long")
+    if budget is None:
+        num = F.expr("cast(substr(source, 4) as int)")
+        budget = F.lit(MIXTURE_BASE_BUDGET) * (1 + F.pmod(num, F.lit(3)))
+    budget = budget.cast("long")
     key = F.expr(
         "cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)"
     )

@@ -11,7 +11,7 @@ remap).  Cluster deployment mirrors extract_job.py:
         --input <articles root or documents table> \
         --output <output root: funnel/ dup_pairs/ dup_groups/
                   keep_manifest/ clean_corpus/ contaminated/
-                  sample_manifest/>
+                  sample_manifest/ scrubbed_corpus/ mixture_manifest/>
 
 Local smoke run:
 
@@ -36,6 +36,8 @@ def main() -> None:
     ap.add_argument("--source-col", default="source")
     ap.add_argument("--skip-groups", action="store_true",
                     help="skip connected-components grouping (pairs only)")
+    ap.add_argument("--mixture-budget", type=int, default=None,
+                    help="flat per-source token budget for mixture_manifest/")
     ap.add_argument("--local-cpus", type=int, default=None)
     args = ap.parse_args()
 
@@ -47,7 +49,10 @@ def main() -> None:
         dedup_groups,
         lsh_candidate_pairs,
     )
+    from go_readability_spark.textops.pii import scrub_pii_col
     from go_readability_spark.textops.textstats import (
+        MIXTURE_BASE_BUDGET,
+        corpus_mixture,
         decontaminate,
         stratified_sample,
         training_corpus_funnel,
@@ -99,6 +104,16 @@ def main() -> None:
     stratified_sample(docs).write.mode("overwrite").parquet(
         os.path.join(args.output, "sample_manifest")
     )
+
+    # PII-redacted corpus (emails/IPs/phones -> class tokens) and the
+    # per-source mixture manifest — real corpora pass their own weights
+    # table; the flat default budget here is the job-level knob
+    docs.select(
+        "doc_id", "source", scrub_pii_col(F.col("text")).alias("text")
+    ).write.mode("overwrite").parquet(os.path.join(args.output, "scrubbed_corpus"))
+    corpus_mixture(
+        docs, budget=F.lit(args.mixture_budget or 2 * MIXTURE_BASE_BUDGET)
+    ).write.mode("overwrite").parquet(os.path.join(args.output, "mixture_manifest"))
 
     n_funnel = spark.read.parquet(os.path.join(args.output, "funnel")).count()
     n_pairs = spark.read.parquet(os.path.join(args.output, "dup_pairs")).count()

@@ -104,6 +104,8 @@ def test_hygiene_job_end_to_end():
             "clean_corpus",
             "contaminated",
             "sample_manifest",
+            "scrubbed_corpus",
+            "mixture_manifest",
         ):
             assert os.path.exists(os.path.join(root, sub, "_SUCCESS"))
         assert "contaminated docs" in out.stdout
