@@ -225,3 +225,71 @@ def test_windowed_rollup_emits_final_windows_and_drops_late(spark, dirs):
         (0, "view"): (1, 4.0),
         (1, "click"): (1, 8.0),
     }
+
+
+def test_stream_static_enrichment_matches_batch_twin(spark, dirs):
+    """Stream-static join (events stream x broadcast segment dim) rolled
+    up per (hour, segment): the join holds no streaming state, and each
+    closed window equals the batch form of the same operator on the rows
+    that arrived in time."""
+    import datetime as dt
+
+    from go_readability_spark.streaming.enrich import enriched_segment_rollup
+    from go_readability_spark.streaming.windows import read_event_stream
+
+    dim = spark.createDataFrame(
+        [(1, "BUILDING"), (2, "MACHINERY")], ["user_id", "segment"]
+    )
+
+    def ev(event_id, hh, mm, user, value):
+        return (
+            event_id,
+            dt.datetime(2024, 1, 1, hh, mm),
+            user,
+            "click",
+            value,
+            "{}",
+        )
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    # H0: both segments; the 01:45 row advances the watermark past H0's
+    # end so H0 closes; user 9 has no dim row -> inner join drops it
+    wave = spark.createDataFrame(
+        [
+            ev(0, 0, 10, 1, 1.5),
+            ev(1, 0, 20, 1, 2.25),
+            ev(2, 0, 30, 2, 4.0),
+            ev(3, 0, 40, 9, 64.0),
+            ev(4, 1, 45, 2, 8.0),
+        ],
+        cols,
+    )
+    wave.write.mode("overwrite").parquet(dirs["input"])
+
+    q = (
+        enriched_segment_rollup(
+            read_event_stream(spark, dirs["input"]), dim, "1 hour", "30 minutes"
+        )
+        .writeStream.format("parquet")
+        .option("path", dirs["output"])
+        .outputMode("append")
+        .option("checkpointLocation", dirs["checkpoint"] + "-e")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.hour.hour, r.segment): (r.n_events, r.sum_value)
+        for r in spark.read.parquet(dirs["output"]).collect()
+    }
+    assert got == {(0, "BUILDING"): (2, 3.75), (0, "MACHINERY"): (1, 4.0)}
+
+    # batch twin of the same operator over the closed window's rows
+    batch = {
+        (r.hour.hour, r.segment): (r.n_events, r.sum_value)
+        for r in enriched_segment_rollup(
+            wave.filter("ts < timestamp'2024-01-01 01:00:00'"), dim
+        ).collect()
+    }
+    assert batch == got
