@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": lambda spark, sf: P.pii_findings(_docs(spark, sf)),
         "corpus_mixture": lambda spark, sf: TS.corpus_mixture(_docs(spark, sf)),
         "events_segment_rollup": _events_segment_rollup_query,
+        "view_click_attribution": _view_click_attribution_query,
         "training_corpus_funnel": lambda spark, sf: TS.training_corpus_funnel(_docs(spark, sf)),
         # extraction surface (non-SQL-expressible: kernel inside mapInPandas;
         # correctness gated by the 119-fixture golden suite under pytest, and
@@ -300,6 +301,22 @@ def _enrich_oracle_sql() -> str:
     return events_segment_rollup_oracle_sql()
 
 
+def _view_click_attribution_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming stream-stream interval join
+    (streaming/joins.py) — the registry face of that operator."""
+    from go_readability_spark.streaming.joins import view_click_attribution_rollup
+
+    return view_click_attribution_rollup(spark, sf_dir)
+
+
+def _attribution_oracle_sql() -> str:
+    from go_readability_spark.streaming.joins import (
+        view_click_attribution_oracle_sql,
+    )
+
+    return view_click_attribution_oracle_sql()
+
+
 def _extract_funnel_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hygiene funnel over EXTRACTED article text (grouped by page
     language) — extraction feeding corpus hygiene, end-to-end."""
@@ -363,6 +380,7 @@ def oracle_sql() -> dict[str, str]:
         "text_pii_scrub": P.pii_findings_oracle_sql(),
         "corpus_mixture": TS.corpus_mixture_oracle_sql(),
         "events_segment_rollup": _enrich_oracle_sql(),
+        "view_click_attribution": _attribution_oracle_sql(),
         "training_corpus_funnel": TS.training_corpus_funnel_oracle_sql(),
         # The kernel is not SQL-expressible, so the extraction-chained
         # queries get PINNED-CONSTANT oracles: expected values computed once

@@ -293,3 +293,61 @@ def test_stream_static_enrichment_matches_batch_twin(spark, dirs):
         ).collect()
     }
     assert batch == got
+
+
+def test_stream_stream_interval_join_matches_batch(spark, dirs):
+    """Stream-stream inner join with watermarks + event-time range: every
+    (view, click) pair within the horizon is emitted exactly once, and
+    the drained pair set equals the batch join; out-of-horizon clicks
+    and other-user clicks never pair."""
+    import datetime as dt
+
+    from go_readability_spark.streaming.joins import view_click_pairs
+    from go_readability_spark.streaming.windows import read_event_stream
+
+    def ev(event_id, hh, mm, user, etype):
+        return (event_id, dt.datetime(2024, 1, 1, hh, mm), user, etype, 1.0, "{}")
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    rows = [
+        ev(0, 0, 10, 1, "view"),
+        ev(1, 0, 20, 1, "click"),   # +10m -> pairs with view 0
+        ev(2, 0, 35, 1, "click"),   # +25m -> pairs with view 0
+        ev(3, 0, 50, 1, "click"),   # +40m -> OUT of 30m horizon
+        ev(4, 0, 15, 2, "click"),   # other user -> never pairs
+        ev(5, 1, 0, 2, "view"),     # no click in horizon
+        ev(6, 3, 0, 9, "view"),     # watermark pusher
+    ]
+    spark.createDataFrame(rows, cols).write.mode("overwrite").parquet(dirs["input"])
+
+    src = lambda: read_event_stream(spark, dirs["input"])  # noqa: E731
+    q = (
+        view_click_pairs(
+            src().filter("event_type = 'view'"),
+            src().filter("event_type = 'click'"),
+        )
+        .writeStream.format("parquet")
+        .option("path", dirs["output"])
+        .outputMode("append")
+        .option("checkpointLocation", dirs["checkpoint"] + "-j")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.view_id, r.click_id)
+        for r in spark.read.parquet(dirs["output"]).collect()
+    }
+    assert got == {(0, 1), (0, 2)}
+
+    # batch twin over the identical frames
+    ev_df = spark.createDataFrame(rows, cols)
+    batch = {
+        (r.view_id, r.click_id)
+        for r in view_click_pairs(
+            ev_df.filter("event_type = 'view'"),
+            ev_df.filter("event_type = 'click'"),
+        ).collect()
+    }
+    assert batch == got
