@@ -47,29 +47,18 @@ def enriched_segment_rollup(
     lateness: str = "30 minutes",
 ) -> DataFrame:
     """events (stream or batch) ⋈ static dim → tumbling (hour, segment)
-    rollup: (hour, segment, n_events, sum_value).  Decimal(18,4) sums so
-    the streaming result, the batch twin, and the DuckDB oracle agree
-    bit-for-bit regardless of partial-aggregation order."""
-    joined = (
-        events.select(
-            F.col("ts").cast("timestamp").alias("ts"), "user_id", "value"
-        )
-        .join(F.broadcast(dim), "user_id")
-    )
-    if joined.isStreaming:
-        joined = joined.withWatermark("ts", lateness)
-    return (
-        joined.groupBy(F.window("ts", window).alias("w"), "segment")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)"))
-            .cast("double")
-            .alias("sum_value"),
-        )
-        .select(
-            F.col("w.start").alias("hour"), "segment", "n_events", "sum_value"
-        )
-    )
+    rollup: (hour, segment, n_events, sum_value), via the shared
+    ``windows.keyed_windowed_rollup`` core (one definition of the
+    decimal-exact sum shape).  No explicit broadcast hint: Catalyst
+    broadcasts a sub-threshold static side on its own, and an oversized
+    dim then degrades to the shuffled stream-static join instead of
+    force-building an over-memory broadcast."""
+    from .windows import keyed_windowed_rollup
+
+    joined = events.select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id", "value"
+    ).join(dim, "user_id")
+    return keyed_windowed_rollup(joined, "segment", window, lateness)
 
 
 def events_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

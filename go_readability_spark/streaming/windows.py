@@ -39,6 +39,35 @@ def read_event_stream(
     )
 
 
+def keyed_windowed_rollup(
+    events: DataFrame,
+    key: str,
+    window: str = "1 hour",
+    lateness: str = "30 minutes",
+) -> DataFrame:
+    """Shared tumbling-rollup core: (hour, <key>, n_events, sum_value)
+    over (ts, <key>, value) rows — stream (watermarked) or batch.  ONE
+    definition of the bit-exactness-critical decimal(18,4) sum shape,
+    consumed by both ``windowed_event_rollup`` (key=event_type) and
+    ``enrich.enriched_segment_rollup`` (key=segment) so the stream /
+    batch-twin / DuckDB-oracle parity gates can never drift apart."""
+    rows = events.select(
+        F.col("ts").cast("timestamp").alias("ts"), key, "value"
+    )
+    if rows.isStreaming:
+        rows = rows.withWatermark("ts", lateness)
+    return (
+        rows.groupBy(F.window("ts", window).alias("w"), key)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("hour"), key, "n_events", "sum_value")
+    )
+
+
 def windowed_event_rollup(
     events_stream: DataFrame,
     window: str = "1 hour",
@@ -47,19 +76,4 @@ def windowed_event_rollup(
     """Tumbling event-time rollup: (hour, event_type, n_events, sum_value)
     — column-for-column the batch ``hourly_event_rollup`` shape, with the
     same decimal(18,4) sum so closed windows match it exactly."""
-    return (
-        events_stream.select(
-            F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
-        )
-        .withWatermark("ts", lateness)
-        .groupBy(F.window("ts", window).alias("w"), "event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)"))
-            .cast("double")
-            .alias("sum_value"),
-        )
-        .select(
-            F.col("w.start").alias("hour"), "event_type", "n_events", "sum_value"
-        )
-    )
+    return keyed_windowed_rollup(events_stream, "event_type", window, lateness)
