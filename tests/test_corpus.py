@@ -202,3 +202,37 @@ def test_warc_fallback_ids_unique_across_archives():
     assert [rid for rid, _, _ in warc_html_pages(arc_a, "file:/seg/x.warc")] == [
         "file:/seg/x.warc/record-0"
     ]
+
+
+def test_jsonl_crawl_dump_ingest(spark, tmp_path):
+    """A JSONL crawl dump (one {'doc_id','url','html'} object per line —
+    the other common crawl-delivery format besides WARC) feeds
+    ingest_html_documents through Spark's native JSON source: no custom
+    codec needed, and the result extracts identically to direct HTML
+    ingest."""
+    import json
+
+    from go_readability_spark.spark.corpus import ingest_html_documents
+    from go_readability_spark.spark.extract import extract_articles
+
+    pages = {
+        "d1": "<html><body><p>First page body text, long enough to keep.</p></body></html>",
+        "d2": "<html><body><div><p>Second page.</p></div></body></html>",
+    }
+    path = tmp_path / "dump.jsonl"
+    path.write_text(
+        "\n".join(
+            json.dumps({"doc_id": k, "url": f"http://ex.com/{k}", "html": v})
+            for k, v in pages.items()
+        )
+    )
+    raw = (
+        spark.read.schema("doc_id STRING, url STRING, html STRING")
+        .json(str(path))
+        .withColumnRenamed("url", "uri")
+    )
+    docs = ingest_html_documents(raw)
+    arts = {r.doc_id: r for r in extract_articles(docs).collect()}
+    assert set(arts) == set(pages)
+    assert all(r.status in ("ok", "no_article") for r in arts.values())
+    assert "First page body text" in (arts["d1"].text_content or "")
