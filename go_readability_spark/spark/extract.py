@@ -144,9 +144,16 @@ def salted_repartition(
     (e.g. crawl-host clustering); with one shuffle we get even task sizes,
     which is what keeps scaling efficiency ≥0.8 when executor count grows
     (stragglers are the enemy, BASELINE.md north_rule).
+
+    The repartition key is the RAW 64-bit hash, never ``pmod(hash, N)``:
+    pre-modding to N distinct values and re-hashing them through the
+    shuffle's murmur3 % N is balls-in-bins — ~37% of partitions land
+    empty and the busiest carries 3-4 salt cells (measured), exactly the
+    straggler shape salting exists to prevent.  A high-cardinality key
+    spreads by law of large numbers instead.
     """
     salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col("doc_id"), F.lit(salt_buckets)), F.lit(num_partitions))
+        "_salt", F.xxhash64(F.col("doc_id"), F.lit(salt_buckets))
     )
     return salted.repartition(num_partitions, F.col("_salt")).drop("_salt")
 
@@ -191,16 +198,14 @@ def route_and_extract(
     has_bytes = "doc_bytes" in df.columns
     sized = df if has_bytes else with_doc_bytes(df)
     if num_partitions:
+        # raw high-cardinality salt, not pmod(hash, N): see
+        # salted_repartition's balls-in-bins note
         salt = (
             F.when(
                 F.col("doc_bytes") > mega_doc_bytes,
                 F.concat(F.lit("m"), F.col("doc_id").cast("string")),
             )
-            .otherwise(
-                F.pmod(
-                    F.xxhash64(F.col("doc_id"), F.lit(64)), F.lit(num_partitions)
-                ).cast("string")
-            )
+            .otherwise(F.xxhash64(F.col("doc_id"), F.lit(64)).cast("string"))
         )
         routed = (
             sized.withColumn("_salt", salt)

@@ -19,6 +19,7 @@ of the corpus.
 
 from __future__ import annotations
 
+import datetime
 import os
 import time
 from dataclasses import dataclass, field
@@ -117,7 +118,12 @@ def run_extraction(
     bucketed = with_bucket(documents, n_buckets)
     for i in range(0, len(pending), buckets_per_wave):
         wave = pending[i : i + buckets_per_wave]
-        started_at = F.current_timestamp()
+        # driver-side literal, NOT F.current_timestamp(): the lazy column
+        # would evaluate inside the lineage-write query, stamping
+        # started_at == finished_at and zeroing every wave duration
+        started_at = F.lit(datetime.datetime.now(datetime.timezone.utc)).cast(
+            "timestamp"
+        )
         subset = bucketed.filter(F.col("bucket_id").isin(wave))
         if num_partitions:
             subset = salted_repartition(subset, num_partitions)

@@ -24,11 +24,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-# Same span reassembly as spark/extract.py:_HTML_EXPR — JVM-side, codegen'd.
-_FLAT_EXPR = (
-    "array_join(transform("
-    "array_sort(spans, (a, b) -> a.offset - b.offset), s -> s.text), '')"
-)
+# THE span-reassembly expression (one definition — it is the
+# canonicalization contract between streaming and batch fingerprints)
+# and THE fingerprint whitespace class, both shared with the batch side.
+from ..spark.extract import _HTML_EXPR as _FLAT_EXPR
+from ..textops.dedup import WS_RX
 
 
 def fingerprint_stream(documents_stream: DataFrame) -> DataFrame:
@@ -38,7 +38,7 @@ def fingerprint_stream(documents_stream: DataFrame) -> DataFrame:
         "ingest_ts", F.current_timestamp()
     ).withColumn(
         "fp",
-        F.md5(F.regexp_replace(F.lower(F.expr(_FLAT_EXPR)), r"\s+", " ")),
+        F.md5(F.regexp_replace(F.lower(F.expr(_FLAT_EXPR)), WS_RX, " ")),
     )
 
 

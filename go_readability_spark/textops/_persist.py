@@ -8,8 +8,11 @@ application (the pattern ADVICE round 2 flagged for the entry-level frame
 cache).  ``scratch_persist`` keeps at most ``_CAP`` live scratch frames
 for the current application and unpersists the oldest on overflow —
 an evicted frame that some still-held DataFrame references simply
-recomputes (correctness unaffected).  Frames owned by a stopped
-application are dropped without an unpersist call (their JVM is gone).
+recomputes (correctness unaffected).  Frames owned by a DIFFERENT
+application get a best-effort unpersist on eviction: if that app is
+stopped the call throws into the swallow (its JVM is gone, nothing to
+free), but if it is still alive — two sessions in one process — the
+blocks are actually released instead of leaking for its lifetime.
 """
 
 from __future__ import annotations
@@ -22,6 +25,12 @@ _CAP = 4
 
 def scratch_persist(df: DataFrame) -> DataFrame:
     app = df.sparkSession.sparkContext.applicationId
+    for a, f in _SCRATCH:
+        if a != app:
+            try:
+                f.unpersist()
+            except Exception:
+                pass  # owning application already stopped
     _SCRATCH[:] = [(a, f) for a, f in _SCRATCH if a == app]
     while len(_SCRATCH) >= _CAP:
         _, old = _SCRATCH.pop(0)

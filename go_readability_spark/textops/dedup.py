@@ -32,13 +32,21 @@ SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS   # 15
 SIMHASH_MAX_HAMMING = SIMHASH_BANDS - 1             # pigeonhole-complete
 JACCARD_THRESHOLD = 0.8
 
+# ONE whitespace class for every content fingerprint, spelled explicitly:
+# Java \s is [ \t\n\x0b\f\r] but RE2's \s omits \x0b, so a bare '\s+'
+# canonicalizes vertical-tab-bearing crawl text differently in Spark vs
+# the DuckDB oracle.  The explicit class equals Java \s exactly (Spark
+# behavior unchanged) and compiles to the same set in RE2.  Used by
+# exact dedup, metrics, the funnel, and the streaming fingerprint.
+WS_RX = r"[ \t\n\x0b\f\r]+"
+
 
 def exact_duplicates(documents: DataFrame) -> DataFrame:
     """Exact dedup via content fingerprint: one row per duplicated
     fingerprint with the canonical (min) doc_id and the duplicate count."""
     fp = documents.select(
         F.col("doc_id"),
-        F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias("fingerprint"),
+        F.md5(F.regexp_replace(F.lower(F.col("text")), WS_RX, " ")).alias("fingerprint"),
     )
     return (
         fp.groupBy("fingerprint")
@@ -52,8 +60,8 @@ def exact_duplicates(documents: DataFrame) -> DataFrame:
 
 
 def exact_duplicates_oracle_sql() -> str:
-    return r"""
-SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
+    return rf"""
+SELECT md5(regexp_replace(lower(text), '{WS_RX}', ' ', 'g')) AS fingerprint,
        min(doc_id) AS canonical_doc_id,
        count(*) AS n_copies
 FROM documents
@@ -97,21 +105,25 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = JACCARD_THRESHO
     pairs that actually share a shingle ever materialize, the shuffle key
     (shingle) is high-cardinality and uniform, and the intersection size
     falls out of a count per (doc_a, doc_b).  |union| = |A| + |B| − |A∩B|.
-    Blocking on lang plus an *adjacent* length-bucket guard (|Δbucket| ≤ 1,
-    so near-identical docs straddling a 64-char boundary still pair) and
-    the exact size-ratio bound (J ≥ 0.8 ⇒ 5·|A| ≥ 4·|B|) prune further,
-    all in the join condition.
+    Blocking on lang plus a RECALL-EXACT size-bucket guard: buckets are
+    the bit length of the shingle count (power-of-2 ranges), and J ≥ 0.8
+    forces n_a/n_b ≥ 0.8 > 1/2, so true pairs ALWAYS land in the same or
+    adjacent buckets — unlike a fixed-width char bucket, whose absolute
+    tolerance silently drops long near-dup pairs differing by more chars
+    than the width (a 12k-char doc vs its +10% copy).  The exact
+    size-ratio bound (J ≥ 0.8 ⇒ 5·|A| ≥ 4·|B|) then prunes inside the
+    join; bit length is integer-exact in both engines (length(bin(n))).
     """
     sh = (
         documents.select(
             "doc_id",
             "lang",
-            F.floor(F.length("text") / 64).cast("int").alias("len_bucket"),
             F.split(F.col("text"), " ").alias("w"),
         )
         .filter(F.size("w") >= SHINGLE_K)
-        .select("doc_id", "lang", "len_bucket", F.expr(_shingles_col()).alias("sh"))
+        .select("doc_id", "lang", F.expr(_shingles_col()).alias("sh"))
         .withColumn("n_sh", F.size("sh"))
+        .withColumn("len_bucket", F.length(F.bin(F.col("n_sh"))).cast("int"))
     )
     sh = scratch_persist(sh)
     postings = sh.select(
@@ -136,8 +148,8 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = JACCARD_THRESHO
             b,
             (F.col("a.s") == F.col("b.s"))
             & (F.col("a.lang") == F.col("b.lang"))
-            # adjacent buckets, not equality: exact-equality blocking drops
-            # genuine near-dups whose lengths straddle a 64-char boundary
+            # adjacent pow2 buckets: ratio ≥ 0.8 > 1/2 ⇒ |Δbit_length| ≤ 1
+            # always — recall-exact, no absolute-width tolerance
             & (F.abs(F.col("a.len_bucket") - F.col("b.len_bucket")) <= 1)
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.col("a.n_sh") * 5 >= F.col("b.n_sh") * 4)
@@ -166,12 +178,14 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = JACCARD_THRESHO
 def ngram_jaccard_pairs_oracle_sql(threshold: float = JACCARD_THRESHOLD) -> str:
     return f"""
 WITH sh0 AS (
-  SELECT doc_id, lang, CAST(floor(length(text) / 64.0) AS INT) AS len_bucket,
+  SELECT doc_id, lang,
          {_shingles_duck().replace('w', "string_split(text, ' ')")} AS sh
   FROM documents
   WHERE len(string_split(text, ' ')) >= {SHINGLE_K}
 ), shn AS (
-  SELECT *, len(sh) AS n_sh FROM sh0
+  SELECT *, len(sh) AS n_sh,
+         CAST(length(bin(len(sh))) AS INT) AS len_bucket
+  FROM sh0
 ), postings AS (
   SELECT doc_id, lang, len_bucket, n_sh, unnest(sh) AS s FROM shn
 ), freq AS (

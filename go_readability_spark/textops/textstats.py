@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ._persist import scratch_persist
+from .dedup import WS_RX
 
 # Tiny deterministic English stopword set for the n-gram/stopword language
 # heuristic.  Shared verbatim with the oracle SQL.
@@ -178,7 +179,7 @@ def fingerprints(documents: DataFrame) -> DataFrame:
     lineage-stable doc identity."""
     fp = documents.select(
         "source",
-        F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias("fingerprint"),
+        F.md5(F.regexp_replace(F.lower(F.col("text")), WS_RX, " ")).alias("fingerprint"),
     )
     return (
         fp.groupBy("source")
@@ -191,9 +192,9 @@ def fingerprints(documents: DataFrame) -> DataFrame:
 
 
 def fingerprints_oracle_sql() -> str:
-    return r"""
+    return rf"""
 SELECT source, count(*) AS n_docs,
-       count(DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS n_distinct
+       count(DISTINCT md5(regexp_replace(lower(text), '{WS_RX}', ' ', 'g'))) AS n_distinct
 FROM documents GROUP BY source ORDER BY source
 """
 
@@ -279,10 +280,18 @@ def repetition_signals(documents: DataFrame) -> DataFrame:
         F.size(F.array_distinct("w")).alias("n_distinct"),
         "w",
     )
+    # CASE WHEN guards the expression ITSELF: an upstream filter does not
+    # guarantee evaluation order under optimizer rewrites, and
+    # sequence(0, negative) counts DOWN into slice() crashes (CLAUDE.md;
+    # same pattern as dedup._shingles_col)
     grams2 = base.filter(F.size("w") >= 2).select(
         "doc_id",
         F.explode(
-            F.expr("transform(sequence(0, size(w) - 2), i -> concat_ws(' ', slice(w, i + 1, 2)))")
+            F.expr(
+                "CASE WHEN size(w) >= 2 THEN"
+                " transform(sequence(0, size(w) - 2), i -> concat_ws(' ', slice(w, i + 1, 2)))"
+                " ELSE array() END"
+            )
         ).alias("g"),
     )
     top2 = (
@@ -300,7 +309,11 @@ def repetition_signals(documents: DataFrame) -> DataFrame:
     grams5 = base.filter(F.size("w") >= 5).select(
         "doc_id",
         F.explode(
-            F.expr("transform(sequence(0, size(w) - 5), i -> concat_ws(' ', slice(w, i + 1, 5)))")
+            F.expr(
+                "CASE WHEN size(w) >= 5 THEN"
+                " transform(sequence(0, size(w) - 5), i -> concat_ws(' ', slice(w, i + 1, 5)))"
+                " ELSE array() END"
+            )
         ).alias("g"),
     )
     dup5 = (
@@ -395,12 +408,16 @@ def decontaminate(documents: DataFrame) -> DataFrame:
     w = documents.select("doc_id", F.split(F.col("text"), " ").alias("w")).filter(
         F.size("w") >= DECON_K
     )
+    # CASE WHEN guards the expression itself (CLAUDE.md sequence() trap;
+    # the upstream size filter is not an evaluation-order guarantee)
     shingles = w.select(
         "doc_id",
         F.explode(
             F.expr(
-                f"transform(sequence(0, size(w) - {DECON_K}),"
+                f"CASE WHEN size(w) >= {DECON_K} THEN"
+                f" transform(sequence(0, size(w) - {DECON_K}),"
                 f" i -> md5(concat_ws(' ', slice(w, i + 1, {DECON_K}))))"
+                f" ELSE array() END"
             )
         ).alias("h"),
     )
@@ -540,7 +557,7 @@ def training_corpus_funnel(documents: DataFrame) -> DataFrame:
         "doc_id",
         "source",
         F.split(F.col("text"), " ").alias("w"),
-        F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias("fp"),
+        F.md5(F.regexp_replace(F.lower(F.col("text")), WS_RX, " ")).alias("fp"),
     )
     canon = base.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     deduped = base.join(canon, ["fp", "doc_id"])
@@ -566,14 +583,28 @@ def training_corpus_funnel(documents: DataFrame) -> DataFrame:
             "kept_tokens"
         ),
     )
-    return per_source.join(funnel, "source").orderBy("source")
+    # LEFT join + zeros: a source whose every doc loses the cross-source
+    # dedup race (mirror site) must report n_after_dedup=0, not vanish —
+    # same "present but fully excluded" rule as corpus_mixture
+    zero = F.lit(0).cast("long")
+    return (
+        per_source.join(funnel, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_after_dedup", zero).alias("n_after_dedup"),
+            F.coalesce("n_kept", zero).alias("n_kept"),
+            F.coalesce("kept_tokens", zero).alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
 
 
 def training_corpus_funnel_oracle_sql() -> str:
     return f"""
 WITH base AS (
   SELECT doc_id, source, string_split(text, ' ') AS w,
-         md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+         md5(regexp_replace(lower(text), '{WS_RX}', ' ', 'g')) AS fp
   FROM documents
 ), canon AS (
   SELECT fp, min(doc_id) AS doc_id FROM base GROUP BY fp
@@ -597,8 +628,11 @@ WITH base AS (
                        THEN n_words ELSE 0 END) AS BIGINT) AS kept_tokens
   FROM feats GROUP BY source
 )
-SELECT p.source, p.n_docs, f.n_after_dedup, f.n_kept, f.kept_tokens
-FROM per_source p JOIN funnel f ON p.source = f.source
+SELECT p.source, p.n_docs,
+       CAST(coalesce(f.n_after_dedup, 0) AS BIGINT) AS n_after_dedup,
+       CAST(coalesce(f.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(coalesce(f.kept_tokens, 0) AS BIGINT) AS kept_tokens
+FROM per_source p LEFT JOIN funnel f ON p.source = f.source
 ORDER BY p.source
 """
 
