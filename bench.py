@@ -69,7 +69,9 @@ def main() -> None:
     ).hexdigest()[:8]
     corpus_path = os.path.join(
         os.environ.get("BENCH_TMP", "/tmp"),
-        f"bench_corpus_{os.path.basename(sf_dir)}_x{replicate}_{synth_tag}",
+        # rstrip: basename of a trailing-slash path is '' — every sf would
+        # share one cache dir and silently benchmark the wrong corpus
+        f"bench_corpus_{os.path.basename(sf_dir.rstrip('/'))}_x{replicate}_{synth_tag}",
     )
     if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
         # pre-bucketed at write time (the Iceberg bucket(B, doc_id) layout):
@@ -114,7 +116,9 @@ def main() -> None:
                 os.path.join(sf_dir, "embeddings.parquet")
             ).limit(64)
         ).count()
-    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
+    # clamp like the headline loop does: BENCH_REPEATS=0 would leave every
+    # per-query best as None and crash at the JSON round()
+    repeats = max(1, int(os.environ.get("BENCH_REPEATS", "2")))
     timings: dict[str, float] = {}
     for name, fn in e.queries().items():
         if only and name not in only:

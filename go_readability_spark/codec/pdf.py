@@ -58,7 +58,14 @@ def _unescape(raw: bytes) -> str:
                 out.append(int(raw[i + 1 : j], 8) & 0xFF)
                 i = j
                 continue
-            i += 1  # lone backslash: dropped (line continuation et al.)
+            if nxt in b"\r\n":  # \<EOL> is a LINE CONTINUATION (PDF 32000
+                # §7.3.4.2): both the backslash AND the EOL drop; \r\n is
+                # one EOL marker
+                i += 2
+                if nxt == b"\r" and raw[i : i + 1] == b"\n":
+                    i += 1
+                continue
+            i += 1  # lone backslash before any other char: dropped
             continue
         out += c
         i += 1

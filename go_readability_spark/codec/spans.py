@@ -32,9 +32,17 @@ from ..kernel.regexps import MULTIPLE_WHITESPACES
 
 MEDIA_TAGS = ("img", "video", "audio", "source", "embed", "iframe")
 
+# Quote-aware tag body: '>' is legal inside quoted attribute values
+# (<img alt="a>b" src=...>), so a bare [^>]* would split the tag at the
+# first '>' and lose its src.  Possessive quantifiers: no backtracking
+# on unclosed tags.
 _MEDIA_TAG_RE = re.compile(
-    r"<(img|video|audio|source|embed|iframe)(\s[^>]*)?/?>", re.IGNORECASE
+    r"<(img|video|audio|source|embed|iframe)"
+    r"((?:\s(?:[^>\"']++|\"[^\"]*+\"|'[^']*+')*+)?+)/?+>",
+    re.IGNORECASE,
 )
+# comment close per the DOM parser (_markupbase): '--' + optional ws + '>'
+_COMMENT_CLOSE_RE = re.compile(r"--\s*>")
 _SRC_ATTR_RE = re.compile(
     r"""\bsrc\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""", re.IGNORECASE
 )
@@ -66,12 +74,39 @@ def _extract_src(tag_text: str) -> str:
     return m.group(2) or m.group(3) or m.group(4) or ""
 
 
+def _comment_ranges(html: str) -> list[tuple[int, int]]:
+    """[start, end) of every ``<!--`` comment, using the DOM parser's
+    close rule; an unterminated comment swallows the rest of the doc
+    (matching the parser, which never emits its content)."""
+    out: list[tuple[int, int]] = []
+    i = 0
+    while True:
+        s = html.find("<!--", i)
+        if s < 0:
+            return out
+        m = _COMMENT_CLOSE_RE.search(html, s + 4)
+        if m is None:
+            out.append((s, len(html)))
+            return out
+        out.append((s, m.end()))
+        i = m.end()
+
+
 def html_to_spans(html: str) -> list[Span]:
-    """Decompose raw HTML into interleaved markup/media spans (byte-preserving)."""
+    """Decompose raw HTML into interleaved markup/media spans
+    (byte-preserving).  Media tags inside comments stay markup: the DOM
+    discards comments, so classifying ``<!-- <img src=x> -->`` as media
+    would fabricate a media_ref no parse ever sees."""
+    comments = _comment_ranges(html)
+    ci = 0
     spans: list[Span] = []
     pos = 0
     offset = 0
     for m in _MEDIA_TAG_RE.finditer(html):
+        while ci < len(comments) and comments[ci][1] <= m.start():
+            ci += 1
+        if ci < len(comments) and comments[ci][0] <= m.start() < comments[ci][1]:
+            continue  # commented out — stays part of the markup run
         if m.start() > pos:
             spans.append(Span("markup", html[pos:m.start()], "", offset))
             offset += 1

@@ -24,7 +24,9 @@ import zlib
 from collections.abc import Iterator
 
 _GZIP_MAGIC = b"\x1f\x8b"
-_CHARSET_RX = re.compile(r"charset=([A-Za-z0-9_.-]+)")
+# optional quote: RFC 9110 allows the quoted-string form
+# (charset="windows-1251"), common in the wild
+_CHARSET_RX = re.compile(r"charset=\"?([A-Za-z0-9_.-]+)")
 
 
 def warc_records(payload: bytes) -> Iterator[tuple[dict[str, str], bytes]]:

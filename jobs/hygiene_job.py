@@ -111,9 +111,14 @@ def main() -> None:
     docs.select(
         "doc_id", "source", scrub_pii_col(F.col("text")).alias("text")
     ).write.mode("overwrite").parquet(os.path.join(args.output, "scrubbed_corpus"))
-    corpus_mixture(
-        docs, budget=F.lit(args.mixture_budget or 2 * MIXTURE_BASE_BUDGET)
-    ).write.mode("overwrite").parquet(os.path.join(args.output, "mixture_manifest"))
+    budget = (
+        args.mixture_budget
+        if args.mixture_budget is not None  # 0 is a legal explicit budget
+        else 2 * MIXTURE_BASE_BUDGET
+    )
+    corpus_mixture(docs, budget=F.lit(budget)).write.mode("overwrite").parquet(
+        os.path.join(args.output, "mixture_manifest")
+    )
 
     n_funnel = spark.read.parquet(os.path.join(args.output, "funnel")).count()
     n_pairs = spark.read.parquet(os.path.join(args.output, "dup_pairs")).count()

@@ -95,3 +95,22 @@ def test_serialize_reparse_stability():
     direct = dom_to_spans(doc)
     reparsed = html_fragment_to_normalized_spans(doc.get_inner_html())
     assert [s.as_tuple() for s in direct] == [s.as_tuple() for s in reparsed]
+
+
+def test_media_tag_with_quoted_gt_and_comments():
+    """'>' inside a quoted attribute must not split the media tag, and a
+    commented-out tag is markup (the DOM discards comments), never a
+    phantom media span; byte round-trip holds throughout."""
+    from go_readability_spark.codec.spans import html_to_spans, spans_to_html
+
+    cases = {
+        '<img alt="a>b" src="x.png">': [("img", "x.png")],
+        '<!-- <img src=c> --><p>x</p><img src="d">': [("img", "d")],
+        "<!--unterminated <img src=e>": [],
+        "<iframe src=\"f\" data-x=\"1>2\"></iframe>": [("iframe", "f")],
+        "<video src='v.mp4'>ok</video>": [("video", "v.mp4")],
+    }
+    for html, want in cases.items():
+        spans = html_to_spans(html)
+        assert spans_to_html(spans) == html
+        assert [(s.kind, s.media_ref) for s in spans if s.kind != "markup"] == want

@@ -236,3 +236,16 @@ def test_jsonl_crawl_dump_ingest(spark, tmp_path):
     assert set(arts) == set(pages)
     assert all(r.status in ("ok", "no_article") for r in arts.values())
     assert "First page body text" in (arts["d1"].text_content or "")
+
+
+def test_warc_quoted_charset_decodes():
+    """RFC 9110 quoted-string charset (charset="windows-1251") must reach
+    the decoder instead of silently falling back to utf-8 mojibake."""
+    from go_readability_spark.codec.warc import http_response_html
+
+    body = (
+        b'HTTP/1.1 200 OK\r\nContent-Type: text/html; charset="windows-1251"\r\n\r\n'
+        b"<html><body><p>\xcf\xf0\xe8\xe2\xe5\xf2</p></body></html>"
+    )
+    html = http_response_html(body)
+    assert html is not None and "Привет" in html

@@ -166,3 +166,14 @@ def test_ingest_pdf_documents_extracts_through_kernel(spark):
     assert art.status == "ok"
     assert "Paragraph 3 of the PDF body" in art.text_content
     assert art.length > 500
+
+
+def test_literal_string_line_continuation():
+    """Backslash-EOL inside a literal string is a line continuation (PDF
+    32000 7.3.4.2): BOTH the backslash and the EOL drop; \\r\\n is one
+    EOL marker."""
+    from go_readability_spark.codec.pdf import _unescape
+
+    assert _unescape(b"line1\\\nline2") == "line1line2"
+    assert _unescape(b"line1\\\r\nline2") == "line1line2"
+    assert _unescape(b"line1\\\rline2") == "line1line2"

@@ -8,7 +8,11 @@ in fresh JVMs, and reporting docs/sec at each plus
 efficiency = rate(4N) / (4 · rate(N)).
 
 Usage: python tools/bench_scaling.py [--n 8] [--replicate 54] [--sf-dir ...]
-Writes BENCH/BASELINE.md and prints a JSON line.
+Prints a JSON line; the default --level interleaved is the measurement
+of record (same-window, symmetric best-of-2) and is transcribed into
+BENCH/BASELINE.md by hand with its narrative.  The low/high/both path
+additionally caches per-level results in --results-json for split-window
+hunting.
 """
 
 from __future__ import annotations
@@ -60,17 +64,10 @@ spark.stop()
 """
 
 
-def host_probe_s() -> float:
-    """Single-core busy-loop probe: ~1.1-1.4s on a clean window; ≥2s means
-    the host is in an ambient-degradation window and scaling numbers will
-    measure the hypervisor, not the pipeline (see BENCH/BASELINE.md)."""
-    import time
-
-    t0 = time.perf_counter()
-    x = 0
-    for i in range(20_000_000):
-        x += i * i
-    return round(time.perf_counter() - t0, 2)
+# ONE calibrated probe (CLAUDE.md names bench.host_probe_s the calibrated
+# form) — a verbatim copy here could drift from a recalibration there
+sys.path.insert(0, REPO)
+from bench import host_probe_s  # noqa: E402
 
 
 def run_level(cpus: int, corpus: str, repeats: int = 2) -> dict:
@@ -119,7 +116,22 @@ def main() -> None:
     if args.replicate is None:
         args.replicate = 100 if args.corpus_kind == "fixtures" else 54
     if args.corpus is None:
-        args.corpus = f"/tmp/bench_scaling_{args.corpus_kind}_{args.replicate}"
+        # cache key carries the sf dir AND a generator-source hash (same
+        # rationale as bench.py): a synth change or a different --sf-dir
+        # must never silently reuse a stale materialized corpus
+        import hashlib
+
+        synth_tag = hashlib.md5(
+            open(
+                os.path.join(REPO, "go_readability_spark", "spark", "corpus.py"),
+                "rb",
+            ).read()
+        ).hexdigest()[:8]
+        sf_tag = os.path.basename(args.sf_dir.rstrip("/"))
+        args.corpus = (
+            f"/tmp/bench_scaling_{args.corpus_kind}_{args.replicate}"
+            f"_{sf_tag}_{synth_tag}"
+        )
 
     if not os.path.exists(os.path.join(args.corpus, "_SUCCESS")):
         sys.path.insert(0, REPO)
@@ -182,11 +194,14 @@ def main() -> None:
             cache = json.load(f)
 
     def level(name: str, cpus: int, repeats: int) -> dict | None:
-        if args.level not in (name, "both") and name in cache:
-            return cache[name]
+        # cache key pins the full configuration: an entry from a different
+        # N / corpus / repeats must never pair into the efficiency ratio
+        key = f"{name}|n={args.n}|corpus={args.corpus}|repeats={repeats}"
+        if args.level not in (name, "both") and key in cache:
+            return cache[key]
         if args.level in (name, "both"):
             res = run_level(cpus, args.corpus, repeats=repeats)
-            prev = cache.get(name)
+            prev = cache.get(key)
             # keep the global best across invocations: repeated attempts
             # hunt for a low-hypervisor-steal window
             if prev:
@@ -195,10 +210,10 @@ def main() -> None:
                 if prev["docs_per_sec"] > res["docs_per_sec"]:
                     res["wall_sec"] = prev["wall_sec"]
                     res["docs_per_sec"] = prev["docs_per_sec"]
-            cache[name] = res
+            cache[key] = res
             with open(args.results_json, "w", encoding="utf-8") as f:
                 json.dump(cache, f)
-        return cache.get(name)
+        return cache.get(key)
 
     # equal repeats per level: an unequal best-of-k pool would bias the
     # ratio the same way the old asymmetric interleave did
