@@ -41,9 +41,14 @@ def _load(source: str, timeout: float) -> tuple[str, str]:
             return raw.decode(charset, errors="replace"), source
     with open(source, "rb") as f:
         raw = f.read()
+    # as_uri(), not 'file://' + relpath: a relative path's first segment
+    # would become the URL authority and corrupt every link rewrite
+    from pathlib import Path
+
+    file_uri = Path(source).resolve().as_uri()
     if raw[:5] == b"%PDF-":
-        return _pdf_to_page(raw), f"file://{source}"
-    return raw.decode("utf-8", errors="replace"), f"file://{source}"
+        return _pdf_to_page(raw), file_uri
+    return raw.decode("utf-8", errors="replace"), file_uri
 
 
 def main(argv: list[str] | None = None) -> int:

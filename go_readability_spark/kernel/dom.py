@@ -477,10 +477,18 @@ class Node:
                     out.append(">")
                     stack.append("</" + local + ">")
                     stack.extend(reversed(child.child_nodes))
+            elif child.node_type == ELEMENT_NODE:
+                # element with EMPTY local name (bare namespace prefix,
+                # e.g. <a:>): the reference serializes its children with
+                # no surrounding tag (domparser.go:925-928 falls through
+                # to child.GetInnerHTML(), which for an element is its
+                # children's serialization) — treating it as a text node
+                # would silently drop the whole subtree
+                stack.extend(reversed(child.child_nodes))
             else:
-                # text node (or childless non-element): inline the TEXT_NODE
-                # branch of get_inner_html — one method call per text node
-                # is a measurable share of serializer time
+                # text node: inline the TEXT_NODE branch of
+                # get_inner_html — one method call per text node is a
+                # measurable share of serializer time
                 ih = child._inner_html
                 if ih is None:
                     ih = child._inner_html = encode_text_content_html(

@@ -8,17 +8,46 @@ Fidelity notes: the reference's ``isNodeVisible`` style checks are inert
 (arguments to strings.Split are reversed and the separator is '=' not ':',
 readerable.go:36-37), so only the ``hidden``/``aria-hidden`` attribute
 checks filter -- reproduced here.  The reference parses with a spec-level
-HTML5 parser; we use the kernel DOM, which differs only on pages relying
-on implied-tag recovery.
+HTML5 parser (x/net/html), so besides implied-tag recovery it decodes the
+FULL HTML5 entity table before measuring text -- the kernel DOM's lazy
+XML-subset decode (a JSDOMParser quirk the extraction path must keep)
+would count ``&nbsp;`` as 6 bytes instead of 2 near the 140-byte
+threshold, so the scorer walks raw text spellings and decodes them once
+with ``html.unescape`` (``_node_text_html5``).
 """
 
 from __future__ import annotations
 
 import math
+from html import unescape as _unescape_html
 
 from . import regexps as rx
-from .dom import Node, parse_html
+from .dom import TEXT_NODE, Node, parse_html
 from .options import Options
+
+
+def _node_text_html5(n: Node) -> str:
+    """Subtree text as x/net/html would produce it: each text node's RAW
+    entity spelling decoded exactly once with the full HTML5 table
+    (readerable.go:94 measures post-parse text from that parser)."""
+
+    def decode(t: Node) -> str:
+        raw = t._inner_html
+        if raw is None:
+            return t._text_content or ""
+        return _unescape_html(raw) if "&" in raw else raw
+
+    if n.node_type == TEXT_NODE:
+        return decode(n)
+    parts: list[str] = []
+    stack = list(reversed(n.child_nodes))
+    while stack:
+        c = stack.pop()
+        if c.node_type == TEXT_NODE:
+            parts.append(decode(c))
+        elif c.child_nodes:
+            stack.extend(reversed(c.child_nodes))
+    return "".join(parts)
 
 
 def _is_node_visible(node: Node) -> bool:
@@ -83,8 +112,10 @@ def is_probably_readerable(html_source: str, options: Options | None = None) -> 
         if _has_li_p(n):
             continue
         # Go len(string) counts UTF-8 BYTES (readerable.go:94), not code
-        # points — matters for non-ASCII text near the 140-char threshold.
-        text_content_length = len(n.get_text_content().strip().encode("utf-8"))
+        # points — matters for non-ASCII text near the 140-char threshold;
+        # and the reference's parser decodes ALL entities first (module
+        # docstring), hence the html5 text walk instead of get_text_content.
+        text_content_length = len(_node_text_html5(n).strip().encode("utf-8"))
         if text_content_length < opts.min_content_length:
             continue
         score += math.sqrt(text_content_length - opts.min_content_length)

@@ -49,7 +49,10 @@ def to_absolute_uri(uri: str, base_uri: str, document_uri: str) -> str:
         return uri
 
     path = resolved.path
-    if ref.scheme:
+    # Go's ResolveReference resolvePath-normalizes whenever the ref is
+    # absolute OR protocol-relative (ref.Scheme != "" || ref.Host != ""),
+    # so //cdn.example.com/a/../img.png must also lose its dot segments.
+    if ref.scheme or ref.netloc:
         path = _remove_dot_segments(path)
 
     out = ""

@@ -59,3 +59,36 @@ def test_cli_readerable_gate(tmp_path):
     p.write_text("<html><body><p>hi</p></body></html>")
     r = run_cli(str(p), "--check-readerable")
     assert r.returncode == 2
+
+
+def test_relative_path_gets_wellformed_file_uri(tmp_path, monkeypatch):
+    """A relative source path must become a proper file:///abs URI, not
+    file://<relpath> whose first segment would be parsed as the URL
+    authority and corrupt link rewrites."""
+    import json
+    import os
+
+    from go_readability_spark.cli import main
+
+    page = tmp_path / "Page.html"
+    page.write_text(
+        "<html><body><div>"
+        + "<p>Some long enough article body text here, repeated. " * 10
+        + '<a href="next.html">next</a></p></div></body></html>'
+    )
+    monkeypatch.chdir(tmp_path)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["Page.html", "-o", "json"])
+    assert rc == 0
+    out = json.loads(buf.getvalue())
+    html = "".join(s["text"] for s in sorted(out["spans"], key=lambda s: s["offset"]))
+    # the rewritten link resolves against the real absolute file URI
+    # (the kernel serializes non-http schemes as 'scheme:' + path,
+    # reference-faithful) — never against file://<relpath>, whose first
+    # segment would have been parsed as the URL authority
+    assert f'href="file:{tmp_path}/next.html"' in html
+    assert "page.html/next" not in html.lower()

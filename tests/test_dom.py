@@ -312,3 +312,15 @@ def test_text_starting_with_lt_dropped():
     ps = doc.get_elements_by_tag_name("p")
     assert ps[0].get_text_content() == ""
     assert ps[1].get_text_content() == "a <3 b"
+
+
+def test_inner_html_empty_localname_element_serializes_children():
+    """An element whose local name is empty (bare namespace prefix like
+    <a:>) serializes as its CHILDREN with no surrounding tag
+    (domparser.go:925-928) — not as an empty text node dropping the
+    subtree."""
+    from go_readability_spark.kernel.dom import parse_html
+
+    d = parse_html("<div><a:>hello <b>world</b></a:></div>")
+    div = d.get_elements_by_tag_name("div")[0]
+    assert div.get_inner_html() == "hello <b>world</b>"

@@ -41,3 +41,19 @@ def test_non_ascii_below_byte_threshold_not_counted():
 def test_ascii_semantics_unchanged():
     assert is_probably_readerable(_page(f"<p>{'a' * 600}</p>")) is True
     assert is_probably_readerable(_page(f"<p>{'a' * 100}</p>")) is False
+
+
+def test_entities_count_decoded_bytes_near_threshold():
+    """x/net/html decodes the full HTML5 entity table before the byte
+    count (readerable.go:94): ten &nbsp; are 20 bytes, not 60 — a padded
+    short paragraph must not cross min_content_length."""
+    from go_readability_spark.kernel.readerable import is_probably_readerable
+
+    pad = "&nbsp;" * 10
+    # 118 + 10×2 = 138 decoded bytes (< 140); raw spelling would be 178
+    short = "<html><body><p>" + "x" * 118 + pad + "</p></body></html>"
+    assert not is_probably_readerable(short)
+    # the same pattern with enough real text still qualifies
+    long = ("<html><body>" + ("<p>" + "y z " * 60 + pad + "</p>") * 4
+            + "</body></html>")
+    assert is_probably_readerable(long)
