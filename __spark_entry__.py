@@ -125,6 +125,13 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Exactly 50 entries, extraction-chained queries up front.  The driver
+    # records at most 50 correctness rows per round: r03 registered 52 and
+    # CORRECTNESS_r03.json holds exactly the first 50 in registry order
+    # (the bench artifact ran all 52), so entries past 50 silently get no
+    # row.  Intermediate operator faces that would push past the cap live
+    # in ``extra_queries``/``extra_oracle_sql`` below, gated by the same
+    # comparison in tests/test_textops.py and tools/check_oracles.py.
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # relational shell ([S] tier, SURVEY.md §2.3-2.5)
         "metrics_agg": R.metrics_agg,
@@ -132,6 +139,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden_compare_join": R.golden_compare_join,
         "skew_salt_distribution": R.skew_salt_distribution,
         "readerable_prescreen": R.readerable_prescreen,
+        # extraction surface, front-loaded (non-SQL-expressible: kernel
+        # inside mapInPandas; correctness gated by the 119-fixture golden
+        # suite under pytest, and by pinned-constant oracles computed once
+        # from the deterministic seed-42 sf0.01 corpus — a value-level
+        # regression gate for the kernel-through-Spark path)
+        "extract_articles": _extract_articles_query,
+        "extract_media_stats": _extract_media_stats_query,
+        "extract_then_dedup": _extract_then_dedup_query,
+        "extract_funnel": _extract_funnel_query,
+        "dedup_then_extract": _dedup_then_extract_query,
         "pricing_summary": R.pricing_summary,
         "revenue_by_region": R.revenue_by_region,
         "topk_orders_per_customer": R.topk_orders_per_customer,
@@ -145,7 +162,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": lambda spark, sf: D.exact_duplicates(_docs(spark, sf)),
         "dedup_ngram_jaccard": lambda spark, sf: D.ngram_jaccard_pairs(_docs(spark, sf)),
         "dedup_minhash_lsh": lambda spark, sf: D.lsh_candidate_pairs(_docs(spark, sf)),
-        "dedup_minhash_signatures": lambda spark, sf: D.minhash_signatures(_docs(spark, sf)).orderBy("doc_id"),
         # iterative connected components (DuckDB twin: WITH RECURSIVE);
         # the groups frame is computed once and shared with canonical_keep
         "dedup_groups": lambda spark, sf: _text_groups(spark, sf),
@@ -155,7 +171,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_coverage": lambda spark, sf: D.ngram_coverage(_docs(spark, sf)),
         "dedup_block_removal": lambda spark, sf: D.block_removal(_docs(spark, sf)),
         "dedup_url": lambda spark, sf: U.url_duplicates(_docs(spark, sf)),
-        "dedup_simhash": lambda spark, sf: D.simhash_fingerprints(_docs(spark, sf)),
         "dedup_simhash_hamming": lambda spark, sf: D.simhash_near_dup_pairs(_docs(spark, sf)),
         "text_rolling_fingerprint": lambda spark, sf: D.rolling_fingerprints(_docs(spark, sf)),
         # similarity search
@@ -183,18 +198,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_segment_rollup": _events_segment_rollup_query,
         "view_click_attribution": _view_click_attribution_query,
         "training_corpus_funnel": lambda spark, sf: TS.training_corpus_funnel(_docs(spark, sf)),
-        # extraction surface (non-SQL-expressible: kernel inside mapInPandas;
-        # correctness gated by the 119-fixture golden suite under pytest, and
-        # by pinned-constant oracles below computed once from the
-        # deterministic seed-42 sf0.01 corpus — a value-level regression gate
-        # for the kernel-through-Spark path)
-        "extract_articles": _extract_articles_query,
-        "extract_summary": _extract_summary_query,
-        "extract_media_stats": _extract_media_stats_query,
-        "extract_then_dedup": _extract_then_dedup_query,
-        "extract_funnel": _extract_funnel_query,
     }
+    assert len(q) == 50, f"driver records at most 50 correctness rows, got {len(q)}"
     return q
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Value-checked operator faces kept OUT of the driver registry so it
+    stays at its 50-row cap (see ``queries``).  Each is an intermediate or
+    aggregate face of a registered query (minhash signatures feed
+    dedup_minhash_lsh, simhash fingerprints feed dedup_simhash_hamming,
+    extract_summary digests extract_articles' pinned 500-row oracle) and
+    is gated by the identical Spark-vs-DuckDB comparison in
+    tests/test_textops.py and tools/check_oracles.py."""
+    return {
+        "dedup_minhash_signatures": lambda spark, sf: D.minhash_signatures(
+            _docs(spark, sf)
+        ).orderBy("doc_id"),
+        "dedup_simhash": lambda spark, sf: D.simhash_fingerprints(_docs(spark, sf)),
+        "extract_summary": _extract_summary_query,
+    }
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    return {
+        "dedup_minhash_signatures": D.minhash_signatures_oracle_sql(),
+        "dedup_simhash": D.simhash_fingerprints_oracle_sql(),
+        "extract_summary": """
+SELECT * FROM (VALUES
+  ('ok', CAST(500 AS BIGINT), CAST(468373 AS BIGINT), CAST(173 AS BIGINT),
+   CAST(11035 AS BIGINT), CAST(500 AS BIGINT))
+) AS t(status, n_docs, total_length, min_length, max_length, n_titles)
+ORDER BY status
+""",
+    }
 
 
 def _extract_articles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -252,6 +289,39 @@ def _extract_then_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_then_extract_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-order chaining (VERDICT r3 item 7): cheap canonical-URL
+    dedup BEFORE the kernel, so re-fetched duplicates never pay page
+    synthesis or extraction.  The loser list (url_dedup_losers) is
+    broadcast into a ``left_anti`` join against the raw text rows inside
+    synthesize_documents — PLANS.md shows the BroadcastHashJoin LeftAnti —
+    then the survivors route through the same salted exchange + kernel as
+    extract_articles."""
+    from pyspark.sql import functions as F
+
+    from go_readability_spark.spark.corpus import synthesize_documents
+    from go_readability_spark.spark.extract import route_and_extract
+
+    losers = U.url_dedup_losers(_docs(spark, sf_dir))
+    survivors = synthesize_documents(spark, sf_dir, exclude_doc_ids=losers)
+    arts = route_and_extract(
+        survivors, num_partitions=spark.sparkContext.defaultParallelism
+    )
+    digest = arts.groupBy().agg(
+        F.count("*").alias("n_extracted"),
+        F.sum((F.col("status") == "ok").cast("long")).alias("n_ok"),
+        F.sum(F.when(F.col("status") == "ok", F.col("length")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("total_length"),
+    )
+    dropped = losers.groupBy().agg(F.count("*").alias("n_dropped_dups"))
+    return (
+        F.broadcast(dropped)
+        .crossJoin(digest)
+        .select("n_dropped_dups", "n_extracted", "n_ok", "total_length")
+    )
+
+
 # Queries whose oracles are PINNED CONSTANTS computed from the
 # deterministic sf0.01 corpus (the driver's comparison scale): exact there,
 # meaningless at any other sf.  tools/check_oracles.py and the test suite
@@ -264,6 +334,7 @@ PINNED_ORACLES = frozenset(
         "extract_media_stats",
         "extract_then_dedup",
         "extract_funnel",
+        "dedup_then_extract",
     }
 )
 
@@ -352,8 +423,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": D.exact_duplicates_oracle_sql(),
         "dedup_ngram_jaccard": D.ngram_jaccard_pairs_oracle_sql(),
         "dedup_minhash_lsh": D.lsh_candidate_pairs_oracle_sql(),
-        "dedup_minhash_signatures": D.minhash_signatures_oracle_sql(),
-        "dedup_simhash": D.simhash_fingerprints_oracle_sql(),
         "dedup_simhash_hamming": D.simhash_near_dup_pairs_oracle_sql(),
         "dedup_groups": D.dedup_groups_oracle_sql(),
         "dedup_canonical_keep": D.canonical_keep_oracle_sql(),
@@ -389,12 +458,11 @@ def oracle_sql() -> dict[str, str]:
         # driver compares at sf0.01 only, so the constants are exact there;
         # tests/test_textops.py checks these same keys at sf0.01 too.
         "extract_articles": _extract_articles_oracle_sql(),
-        "extract_summary": """
-SELECT * FROM (VALUES
-  ('ok', CAST(500 AS BIGINT), CAST(468373 AS BIGINT), CAST(173 AS BIGINT),
-   CAST(11035 AS BIGINT), CAST(500 AS BIGINT))
-) AS t(status, n_docs, total_length, min_length, max_length, n_titles)
-ORDER BY status
+        "dedup_then_extract": """
+SELECT CAST(480 AS BIGINT) AS n_dropped_dups,
+       CAST(20 AS BIGINT) AS n_extracted,
+       CAST(20 AS BIGINT) AS n_ok,
+       CAST(18519 AS BIGINT) AS total_length
 """,
         "extract_media_stats": """
 SELECT * FROM (VALUES

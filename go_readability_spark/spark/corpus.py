@@ -157,7 +157,10 @@ def _synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def synthesize_documents(
-    spark: SparkSession, sf_dir: str, replicate: int = 1
+    spark: SparkSession,
+    sf_dir: str,
+    replicate: int = 1,
+    exclude_doc_ids: DataFrame | None = None,
 ) -> DataFrame:
     """documents.parquet(text corpus) → interleaved-span documents table.
 
@@ -165,12 +168,18 @@ def synthesize_documents(
     text table, so the span corpus is generated where it is consumed.
     ``replicate`` fans each source row out K× (unique doc_ids, identical
     page content) — the bench knob for compute-dominated scaling runs.
+    ``exclude_doc_ids`` (a small frame of raw doc_id values, e.g. URL-dedup
+    losers) is anti-joined out BEFORE synthesis — the cheapest point to
+    drop a duplicate is before it pays page build + kernel; the exclusion
+    side is broadcast so the corpus-sized side never shuffles for it.
     """
     import pyspark.sql.functions as F
 
     src = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
         "doc_id", "text", "lang", "source"
     )
+    if exclude_doc_ids is not None:
+        src = src.join(F.broadcast(exclude_doc_ids), "doc_id", "left_anti")
     if replicate > 1:
         src = src.withColumn(
             "rep", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1)))

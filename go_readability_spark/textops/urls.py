@@ -143,6 +143,29 @@ def url_duplicates(documents: DataFrame) -> DataFrame:
     )
 
 
+def url_dedup_losers(documents: DataFrame) -> DataFrame:
+    """doc_ids to DROP before extraction: every member of a canonical-URL
+    duplicate group except the first fetch (min doc_id — the same survivor
+    rule as ``url_duplicates``).  The production pre-extraction dedup gate
+    (no reference equivalent; the reference extracts single documents):
+    duplicates are removed BEFORE the kernel so re-fetched pages never pay
+    page parse/extraction.  The only shuffle is the canonical-URL partial
+    agg; dup groups are rare, so mapping groups back to member doc_ids is
+    a broadcast join and the corpus-sized side never moves."""
+    canon = F.expr(canonical_url_sql(f"({_synth_url_sql('spark')})", "spark"))
+    per_doc = documents.select(canon.alias("canonical_url"), "doc_id")
+    groups = (
+        per_doc.groupBy("canonical_url")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc"))
+        .filter(F.col("n_docs") > 1)
+    )
+    return (
+        per_doc.join(F.broadcast(groups), "canonical_url")
+        .filter(F.col("doc_id") != F.col("keep_doc"))
+        .select("doc_id")
+    )
+
+
 def url_duplicates_oracle_sql() -> str:
     canon = canonical_url_sql(f"({_synth_url_sql('duckdb')})", "duckdb")
     return f"""

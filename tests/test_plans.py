@@ -33,6 +33,8 @@ CROSS_OK = {
     "dedup_embedding_groups",
     # 1-row corpus-size broadcast gating the common-term cutoff
     "text_top_terms",
+    # 1-row dropped-count digest crossJoined onto the 1-row extraction digest
+    "dedup_then_extract",
 }
 
 # Iterative queries run jobs during construction (connected components);
@@ -50,13 +52,19 @@ def _entry():
     return e
 
 
-QUERY_NAMES = sorted(set(_entry().queries()) - SKIP)
+def _all_queries(e):
+    # extras: registry-capped faces (driver records at most 50 rows) get
+    # the same plan invariants as registered queries
+    return {**e.queries(), **e.extra_queries()}
+
+
+QUERY_NAMES = sorted(set(_all_queries(_entry())) - SKIP)
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_no_accidental_cross_product_or_row_udf(spark, name):
     e = _entry()
-    plan = _plan(e.queries()[name](spark, SF_DIR))
+    plan = _plan(_all_queries(e)[name](spark, SF_DIR))
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
     if name not in CROSS_OK:
         assert "CartesianProduct" not in plan, f"{name}: cartesian product"

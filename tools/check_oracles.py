@@ -57,9 +57,12 @@ def main() -> int:
         if os.path.exists(path):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
-    oracles = e.oracle_sql()
+    # extras: value-checked faces kept out of the 50-row driver registry —
+    # the mirror gates them identically
+    oracles = {**e.oracle_sql(), **e.extra_oracle_sql()}
     failures = []
-    for name, fn in e.queries().items():
+    all_queries = {**e.queries(), **e.extra_queries()}
+    for name, fn in all_queries.items():
         if only and name not in only:
             continue
         sdf = fn(spark, sf_dir)
