@@ -27,20 +27,49 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
-from ..kernel.dom import ELEMENT_NODE, TEXT_NODE, Node, parse_html
+from ..kernel.dom import (
+    CDATA_CONTENT_ELEMENTS,
+    ELEMENT_NODE,
+    TEXT_NODE,
+    Node,
+    parse_html,
+)
 from ..kernel.regexps import MULTIPLE_WHITESPACES
 
 MEDIA_TAGS = ("img", "video", "audio", "source", "embed", "iframe")
 
 # Quote-aware tag body: '>' is legal inside quoted attribute values
 # (<img alt="a>b" src=...>), so a bare [^>]* would split the tag at the
-# first '>' and lose its src.  Possessive quantifiers: no backtracking
-# on unclosed tags.
+# first '>' and lose its src — but quoted values only open after '=',
+# so a bare value may CONTAIN quote chars (<img alt=it's src=x.png>,
+# which html.parser accepts as [^>\s]* — ADVICE r3).  Attr-name runs
+# exclude '/' like attrfind_tolerant's name class, so a trailing '/'
+# reaches the self-closing capture group instead of being eaten as a
+# name char.  Possessive quantifiers: no backtracking on unclosed tags.
+_TAG_BODY = (
+    r"(?:\s(?:[^>\s=/\"']++"    # attr-name run (no '=' '/' quotes ws)
+    r"|=\s*+\"[^\"]*+\""        # ="quoted" ('>' legal inside)
+    r"|=\s*+'[^']*+'"           # ='quoted'
+    r"|=\s*+(?![\"'])[^>\s]*+"  # =bare — may contain quotes and '/'
+    r"|/(?!>)"                  # stray-slash separator between attrs
+    r"|[\"'\s])*+)?+"           # stray quote / whitespace
+)
 _MEDIA_TAG_RE = re.compile(
-    r"<(img|video|audio|source|embed|iframe)"
-    r"((?:\s(?:[^>\"']++|\"[^\"]*+\"|'[^']*+')*+)?+)/?+>",
+    r"<(img|video|audio|source|embed|iframe)(" + _TAG_BODY + r")(/?+)>",
     re.IGNORECASE,
 )
+# raw-text (CDATA) element opening tags: these park the DOM parser in
+# cdata mode (kernel/dom.py set_cdata_mode), making their CONTENT plain
+# text — group(3) distinguishes <style/> (startendtag: no cdata mode)
+_CDATA_OPEN_RE = re.compile(
+    r"<(" + "|".join(CDATA_CONTENT_ELEMENTS) + r")(" + _TAG_BODY + r")(/?+)>",
+    re.IGNORECASE,
+)
+# identical to the DOM parser's set_cdata_mode close pattern
+_CDATA_CLOSE_RES = {
+    elem: re.compile(rf"</\s*{elem}\s*>", re.IGNORECASE)
+    for elem in CDATA_CONTENT_ELEMENTS
+}
 # comment close per the DOM parser (_markupbase): '--' + optional ws + '>'
 _COMMENT_CLOSE_RE = re.compile(r"--\s*>")
 _SRC_ATTR_RE = re.compile(
@@ -74,39 +103,62 @@ def _extract_src(tag_text: str) -> str:
     return m.group(2) or m.group(3) or m.group(4) or ""
 
 
-def _comment_ranges(html: str) -> list[tuple[int, int]]:
-    """[start, end) of every ``<!--`` comment, using the DOM parser's
-    close rule; an unterminated comment swallows the rest of the doc
-    (matching the parser, which never emits its content)."""
+def _opaque_ranges(html: str) -> list[tuple[int, int]]:
+    """[start, end) ranges whose bytes the DOM parser never tokenizes as
+    markup: comment bodies, and raw-text (CDATA) element CONTENT — a
+    non-self-closing ``<style>``/``<title>``/… start tag parks the parser
+    in cdata mode (kernel/dom.py ``CDATA_CONTENT_ELEMENTS``; the Go
+    tokenizer's raw-text elements, domparser.go:1102-1104), so ``<img``
+    or ``<!--`` inside is plain text to the DOM (ADVICE r3: an
+    unterminated ``<!--`` inside ``<style>`` must not mark the rest of
+    the document as commented).  Whichever construct opens first wins —
+    each is invisible inside the other.  An unterminated construct
+    swallows the rest of the document, matching the parser (goahead
+    parks in its mode and never emits the tail)."""
     out: list[tuple[int, int]] = []
-    i = 0
-    while True:
-        s = html.find("<!--", i)
-        if s < 0:
-            return out
-        m = _COMMENT_CLOSE_RE.search(html, s + 4)
-        if m is None:
-            out.append((s, len(html)))
-            return out
-        out.append((s, m.end()))
-        i = m.end()
+    i, n = 0, len(html)
+    while i < n:
+        c = html.find("<!--", i)
+        m = _CDATA_OPEN_RE.search(html, i)
+        while m is not None and m.group(3):
+            # self-closing (<style/>): handle_startendtag, no cdata mode
+            m = _CDATA_OPEN_RE.search(html, m.end())
+        if c < 0 and m is None:
+            break
+        if m is None or (0 <= c < m.start()):
+            cm = _COMMENT_CLOSE_RE.search(html, c + 4)
+            if cm is None:
+                out.append((c, n))
+                break
+            out.append((c, cm.end()))
+            i = cm.end()
+        else:
+            em = _CDATA_CLOSE_RES[m.group(1).lower()].search(html, m.end())
+            if em is None:
+                out.append((m.end(), n))
+                break
+            out.append((m.end(), em.start()))
+            i = em.end()
+    return out
 
 
 def html_to_spans(html: str) -> list[Span]:
     """Decompose raw HTML into interleaved markup/media spans
-    (byte-preserving).  Media tags inside comments stay markup: the DOM
-    discards comments, so classifying ``<!-- <img src=x> -->`` as media
-    would fabricate a media_ref no parse ever sees."""
-    comments = _comment_ranges(html)
+    (byte-preserving).  Media tags inside comments or raw-text element
+    content stay markup: the DOM discards comments and tokenizes cdata
+    content as text, so classifying ``<!-- <img src=x> -->`` or
+    ``<style><img src=x></style>`` as media would fabricate a media_ref
+    no parse ever sees."""
+    opaque = _opaque_ranges(html)
     ci = 0
     spans: list[Span] = []
     pos = 0
     offset = 0
     for m in _MEDIA_TAG_RE.finditer(html):
-        while ci < len(comments) and comments[ci][1] <= m.start():
+        while ci < len(opaque) and opaque[ci][1] <= m.start():
             ci += 1
-        if ci < len(comments) and comments[ci][0] <= m.start() < comments[ci][1]:
-            continue  # commented out — stays part of the markup run
+        if ci < len(opaque) and opaque[ci][0] <= m.start() < opaque[ci][1]:
+            continue  # inside a comment / raw-text content — stays markup
         if m.start() > pos:
             spans.append(Span("markup", html[pos:m.start()], "", offset))
             offset += 1

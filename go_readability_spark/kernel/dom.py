@@ -818,6 +818,10 @@ _FAST_CDATA_END = {
     for elem in _DOMBuilder.CDATA_CONTENT_ELEMENTS
 }
 
+# public face of the raw-text element set for the span codec (codec/spans.py
+# must classify media tags exactly as this parser tokenizes them)
+CDATA_CONTENT_ELEMENTS = _DOMBuilder.CDATA_CONTENT_ELEMENTS
+
 from html import unescape as _unescape_html  # noqa: E402 (html.parser's attr decode)
 
 

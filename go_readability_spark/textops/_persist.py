@@ -5,41 +5,50 @@ Several operators persist a subtree that both sides of a self-join read
 expensive fingerprint pass runs twice, but a bare ``.persist()`` with no
 owner leaks a MEMORY_AND_DISK frame per invocation for the life of the
 application (the pattern ADVICE round 2 flagged for the entry-level frame
-cache).  ``scratch_persist`` keeps at most ``_CAP`` live scratch frames
-for the current application and unpersists the oldest on overflow —
-an evicted frame that some still-held DataFrame references simply
-recomputes (correctness unaffected).  Frames owned by a DIFFERENT
-application get a best-effort unpersist on eviction: if that app is
-stopped the call throws into the swallow (its JVM is gone, nothing to
-free), but if it is still alive — two sessions in one process — the
-blocks are actually released instead of leaking for its lifetime.
+cache).  ``scratch_persist`` keeps one cache PER APPLICATION (ADVICE
+round 3: a single shared list made two live sessions in one process
+alternate-evict each other's entire scratch on every call — recompute
+thrash), each capped at ``_CAP`` frames with oldest-first unpersist on
+overflow; an evicted frame that some still-held DataFrame references
+simply recomputes (correctness unaffected).  A cache whose owning
+application has STOPPED is dropped wholesale the next time any session
+calls in (unpersist on a dead app is a no-op — its JVM state is gone);
+caches of other LIVE applications are never touched.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-_SCRATCH: list[tuple[str, DataFrame]] = []
+_SCRATCH: dict[str, list[DataFrame]] = {}
 _CAP = 4
+
+
+def _app_stopped(frames: list[DataFrame]) -> bool:
+    try:
+        return frames[0].sparkSession.sparkContext._jsc is None
+    except Exception:
+        return True  # session object torn down past usability
 
 
 def scratch_persist(df: DataFrame) -> DataFrame:
     app = df.sparkSession.sparkContext.applicationId
-    for a, f in _SCRATCH:
-        if a != app:
-            try:
-                f.unpersist()
-            except Exception:
-                pass  # owning application already stopped
-    _SCRATCH[:] = [(a, f) for a, f in _SCRATCH if a == app]
-    while len(_SCRATCH) >= _CAP:
-        _, old = _SCRATCH.pop(0)
+    for a in [a for a in _SCRATCH if a != app]:
+        if _app_stopped(_SCRATCH[a]):
+            for f in _SCRATCH.pop(a):
+                try:
+                    f.unpersist()  # best-effort; normally a dead-JVM no-op
+                except Exception:
+                    pass
+    bucket = _SCRATCH.setdefault(app, [])
+    while len(bucket) >= _CAP:
+        old = bucket.pop(0)
         try:
             old.unpersist()
         except Exception:
             pass  # already unpersisted / session torn down mid-eviction
     df = df.persist()
-    _SCRATCH.append((app, df))
+    bucket.append(df)
     return df
 
 

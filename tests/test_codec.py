@@ -114,3 +114,38 @@ def test_media_tag_with_quoted_gt_and_comments():
         spans = html_to_spans(html)
         assert spans_to_html(spans) == html
         assert [(s.kind, s.media_ref) for s in spans if s.kind != "markup"] == want
+
+
+def test_media_classification_tracks_rawtext_and_bare_quotes():
+    """ADVICE r3 regressions: (1) '<!--' inside raw-text (CDATA) element
+    content is plain text to the DOM parser — it must not swallow the rest
+    of the document as a comment; (2) an unquoted attribute value may
+    contain a quote char (html.parser bare values are [^>\\s]*); (3) media
+    tags inside raw-text content are text to the DOM, never media spans;
+    (4) a self-closing <style/> does not open raw-text mode.  Byte
+    round-trip holds throughout."""
+    from go_readability_spark.codec.spans import html_to_spans, spans_to_html
+
+    cases = {
+        # (1) the ADVICE repro verbatim
+        "<style>/* <!-- */</style><img src=real.png>": [("img", "real.png")],
+        # (2) the ADVICE repro verbatim
+        "<p><img alt=it's src=x.png></p>": [("img", "x.png")],
+        # (3) raw-text content hides media; the iframe TAG itself is media
+        "<title><img src=fake.png></title><img src=r.png>": [("img", "r.png")],
+        "<iframe src=a.html><img src=in.png></iframe><img src=out.png>": [
+            ("iframe", "a.html"),
+            ("img", "out.png"),
+        ],
+        # unterminated raw text swallows the tail like the parser does
+        "<textarea><img src=never.png>": [],
+        # (4) self-closing raw-text element: no cdata mode
+        "<style/><img src=z.png>": [("img", "z.png")],
+        # comment still wins when it opens first
+        "<!-- <style> --><img src=w.png>": [("img", "w.png")],
+    }
+    for html, want in cases.items():
+        spans = html_to_spans(html)
+        assert spans_to_html(spans) == html, html
+        got = [(s.kind, s.media_ref) for s in spans if s.kind != "markup"]
+        assert got == want, (html, got)

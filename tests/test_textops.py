@@ -134,6 +134,45 @@ def test_session_cache_caps_and_evicts(spark):
         e._FRAME_CACHE.clear()
 
 
+def test_scratch_persist_is_per_application(spark):
+    """ADVICE r3: a foreign LIVE application's scratch cache must survive
+    this session's scratch_persist calls (the old shared list alternate-
+    evicted it on every call); a STOPPED application's cache is dropped."""
+    from types import SimpleNamespace
+
+    from go_readability_spark.textops import _persist as P
+
+    P._SCRATCH.clear()
+    live_foreign = SimpleNamespace(
+        sparkSession=SimpleNamespace(
+            sparkContext=SimpleNamespace(_jsc=object())
+        ),
+        unpersist=lambda: (_ for _ in ()).throw(AssertionError("evicted live app")),
+    )
+    dead_foreign_hits = []
+    dead_foreign = SimpleNamespace(
+        sparkSession=SimpleNamespace(sparkContext=SimpleNamespace(_jsc=None)),
+        unpersist=lambda: dead_foreign_hits.append(1),
+    )
+    try:
+        P._SCRATCH["app-live"] = [live_foreign]
+        P._SCRATCH["app-dead"] = [dead_foreign]
+        out = P.scratch_persist(spark.range(3))
+        assert out.storageLevel.useMemory
+        assert "app-live" in P._SCRATCH  # live foreign cache untouched
+        assert "app-dead" not in P._SCRATCH  # stopped app dropped
+        assert dead_foreign_hits == [1]
+        app = spark.sparkContext.applicationId
+        # the per-app cap still evicts oldest-first within one app
+        for i in range(P._CAP + 1):
+            P.scratch_persist(spark.range(i + 10))
+        assert len(P._SCRATCH[app]) == P._CAP
+        assert not out.storageLevel.useMemory  # displaced by the cap
+    finally:
+        P._SCRATCH.pop("app-live", None)
+        P._SCRATCH.pop("app-dead", None)
+
+
 def test_every_oracle_key_has_query():
     e = _entry()
     q = _all_queries(e)
