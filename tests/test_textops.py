@@ -134,6 +134,64 @@ def test_session_cache_caps_and_evicts(spark):
         e._FRAME_CACHE.clear()
 
 
+def test_lsh_band_width_derives_from_corpus_size():
+    """VERDICT r3: band width must grow with corpus cardinality (a fixed
+    4-bit band degenerates toward N²/16 pairs at 10^9 vectors), floored
+    at the pinned oracle constants and capped by the packed-BIGINT
+    signature."""
+    from go_readability_spark.textops import similarity as S
+
+    # tiny corpora keep the pinned (oracle-exact) shape
+    assert S.derive_lsh_params(100)["band_bits"] == S.EMB_BAND_BITS
+    assert S.derive_lsh_params(4096)["band_bits"] == S.EMB_BAND_BITS
+    p1m = S.derive_lsh_params(1_000_000)
+    p10m = S.derive_lsh_params(10_000_000)
+    # a 10× corpus picks equal-or-wider bands; here strictly wider
+    assert S.EMB_BAND_BITS < p1m["band_bits"] < p10m["band_bits"]
+    for p in (p1m, p10m):
+        assert p["n_planes"] == p["band_bits"] * p["n_bands"]
+        assert p["buckets_per_band"] == 1 << p["band_bits"]
+    # monotone everywhere
+    widths = [S.derive_lsh_params(n)["band_bits"] for n in (10**3, 10**5, 10**7, 10**9, 10**12)]
+    assert widths == sorted(widths)
+    # the one-BIGINT packed signature caps n_bands·band_bits at 62
+    cap = S.derive_lsh_params(10**12)
+    assert cap["n_bands"] * cap["band_bits"] <= 62
+
+
+def test_lsh_scale_path_matches_pinned_at_small_n(spark):
+    """At tiny cardinality the derived width floors at the pinned
+    constants, so the scale path returns the exact oracle-pinned pairs —
+    and the measured balance invariant passes without raising."""
+    from go_readability_spark.textops import similarity as S
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    n = emb.count()
+    pinned = S.embedding_near_dup_pairs(emb).collect()
+    scaled = S.embedding_near_dup_pairs(emb, n_vectors=n).collect()
+    assert scaled == pinned
+
+
+def test_lsh_balance_invariant_fails_loudly(spark):
+    """A degenerate bucketing (all vectors identical → one bucket) must
+    raise before any pairwise work, naming the fix."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from go_readability_spark.textops import similarity as S
+
+    deg = spark.range(5000).select(
+        F.col("id").alias("vec_id"),
+        F.expr("transform(sequence(1, 64), i -> cast(1.0 as float))").alias(
+            "embedding"
+        ),
+    )
+    with _pytest.raises(ValueError, match="unbalanced"):
+        S.embedding_near_dup_pairs(deg, n_vectors=5000)
+    with _pytest.raises(ValueError, match="ivf_topk"):
+        S.lsh_bucketed_topk(deg, n_vectors=5000)
+
+
 def test_scratch_persist_is_per_application(spark):
     """ADVICE r3: a foreign LIVE application's scratch cache must survive
     this session's scratch_persist calls (the old shared list alternate-
