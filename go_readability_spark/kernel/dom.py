@@ -793,15 +793,35 @@ class _Abort(Exception):
 #    value class is [^>\s]*, so feed() parses <meta charset=utf-8/> as
 #    an OPEN tag whose value is 'utf-8/'; excluding '/' here would let
 #    (/?+)> claim it as self-closing and silently diverge.
+# 3. An attribute may start IMMEDIATELY after a quoted value with no
+#    whitespace (<button title="x"data-a="1">, common in minified HTML —
+#    the top real-corpus abort class): attrfind_tolerant's start anchor
+#    is the lookbehind (?<=['"\s/]), satisfied by the closing quote
+#    itself, and locatestarttagend_tolerant's [\s/]* separator matches
+#    empty there — so feed() tokenizes the run into separate attrs.  The
+#    (?<=[\"']) separator alternative below fires exactly at those
+#    boundaries: bare values exclude quotes in the fast subset, and a
+#    name run can only STOP at a non-name char ({ws, =, /, >, <}, none a
+#    name-start), so the previous char can only be a quote when a QUOTED
+#    VALUE just closed — never mid-token.  (Names starting right after a
+#    BARE value can't occur: the bare-value run would have consumed them.)
+# 4. Attr NAMES may contain quote chars (attrfind_tolerant's name classes
+#    are [^\s/>][^\s/=>]* — quotes legal throughout; real-corpus attr
+#    soup like bbc-1's `presidency."=""` hits this).  The fast name class
+#    [^\s/>=<]++ is a strict subset (it additionally excludes '=' first
+#    chars and '<'); wherever the run stops early on a char feed() would
+#    keep (only '<', or an '='-leading name), the tail pattern can't
+#    match and the whole tag ABORTS to the fallback — tokens never
+#    silently diverge.
 _FAST_START = re.compile(
     r"<([a-zA-Z][-a-zA-Z0-9._:]*+)"  # tag name: subset of tagfind_tolerant
-    r"((?:[\t\n\r\f ]\s*+[^\s/>=\"'<]++"  # attr name: subset of attrfind_tolerant
+    r"((?:(?:[\t\n\r\f ]\s*+|(?<=[\"']))[^\s/>=<]++"  # attr name: subset of attrfind_tolerant
     r"(?:\s*+=\s*+(?:\"[^\"]*+\"|'[^']*+'|[^\s>\"'`=<]++))?+)*+)"
     r"(?:[\t\n\r\f ]\s*+)?+(/?+)>"
 )
 # attr splitter over the validated attrs span (group 2 of _FAST_START)
 _FAST_ATTR = re.compile(
-    r"[\t\n\r\f ]\s*+([^\s/>=\"'<]++)"
+    r"(?:[\t\n\r\f ]\s*+|(?<=[\"']))([^\s/>=<]++)"
     r"(?:\s*+=\s*+(\"[^\"]*+\"|'[^']*+'|[^\s>\"'`=<]++))?+"
 )
 # identical to html.parser's endtagfind

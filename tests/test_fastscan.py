@@ -139,6 +139,30 @@ ADVERSARIAL = [
     '<a b="1"\xa0c="2">l</a>',
     "<a b=1\x0bc=2>l</a>",
     '<a b="1"/>',
+    # no-space-after-quoted-value separators (attrfind_tolerant's
+    # (?<=['"\s/]) start anchor — the top real-corpus abort class,
+    # minified HTML like medium-2's <button ..."data-action="...">)
+    '<a b="1"c="2">x</a>',
+    "<a b='1'c='2'>x</a>",
+    '<button title="x"data-a="1"data-b="2">t</button>',
+    '<a b="1"c=\'2\'d=e f="3">x</a>',
+    '<a b="1"c>x</a>',
+    '<a b="1"c="2"/>',
+    '<a b="1"="2">x</a>',
+    "<a b=\"1\"'c'>x</a>",
+    '<a b=c"d">x</a>',
+    '<a b="1" c="2"d="3" >x</a>',
+    # quote chars inside attr names (attrfind_tolerant name classes allow
+    # them; bbc-1/salon-1/webmd-2 attr soup like `presidency."=""`)
+    '<meta content="pass " common="" presidency."=""/><p>x</p>',
+    '<a b"c="d">x</a>',
+    '<a "b"="c">x</a>',
+    '<a x="1""y">x</a>',
+    '<a x="1""2"="3">x</a>',
+    '<a b"c>x</a>',
+    '<a island=" i ":=" " how=" ">x</a>',
+    # nameless ="..." after a quoted value (clean-links): abort+fallback
+    '<link rel=" s "=" " type="text/css">',
     # marked sections (_markupbase.parse_marked_section parity)
     "<script>/*<![CDATA[*/ var x = 1; /*]]>*/</script>",
     "<![CDATA[raw text]]>",
@@ -170,8 +194,10 @@ def test_fastscan_golden_corpus_equivalence():
         src = open(f, encoding="utf-8").read()
         if _assert_equivalent(src):
             fast += 1
-    # only genuinely broken markup (attr-soup quote nesting) falls back
-    assert fast >= len(files) * 0.9, (fast, len(files))
+    # r4: only clean-links' nameless ="..." attr construct falls back
+    # (237/238 = 99.6%); regressing below 98% means a fast-path class
+    # (no-space-after-quote separators, quote-bearing names) broke
+    assert fast >= len(files) * 0.98, (fast, len(files))
 
 
 def test_fastscan_covers_synth_and_serializer_output():
@@ -237,6 +263,10 @@ def test_fastscan_covers_synth_and_serializer_output():
                 "<![",
                 "]>",
                 "[",
+                'b="1"c="2"',
+                '"c="2"',
+                'a".="b"',
+                '."=""',
             ]
         ),
         min_size=0,
