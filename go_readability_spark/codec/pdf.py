@@ -5,11 +5,20 @@ HTML boilerplate stripping.  This module handles the common simple case
 end-to-end with no third-party dependency: uncompressed or FlateDecode
 content streams, BT..ET text blocks, ``Tj`` / ``'`` / ``TJ`` show-text
 operators over both literal ``(...)`` strings (with PDF escapes) and hex
-``<...>`` strings (one-byte character codes), page-ordered.  Anything
-richer (CID-keyed/Type0 fonts whose hex strings are 2-byte CIDs needing a
-ToUnicode CMap, encrypted files, object streams) is out of scope here — pass a production extractor (pypdf/pdfminer) through the
-``real_extract`` hook of ``spark.corpus.ingest_pdf_documents`` and the
-Spark-side plumbing is unchanged.
+``<...>`` strings, page-ordered.
+
+CID-keyed (Type0/Identity-H) text — the common real-crawl case — is
+handled for the single-consistent-CMap envelope: when the document's
+ToUnicode CMap streams (``beginbfchar``/``beginbfrange`` sections,
+PDF 32000 §9.10.3) merge without conflicting mappings, hex show-text
+strings decode as 2-byte character codes through the merged map
+(destinations are UTF-16BE).  Documents whose CMaps conflict (several
+fonts reusing the same CID space differently) need per-font resource
+resolution and fall back to the 1-byte latin-1 interpretation; encrypted
+files and object streams stay out of scope — pass a production extractor
+(pypdf/pdfminer) through the ``real_extract`` hook of
+``spark.corpus.ingest_pdf_documents`` and the Spark-side plumbing is
+unchanged.
 
 Layout model: one output line per show-text operator in stream order —
 the text layer's native reading order for simple generators.  This mirrors
@@ -72,17 +81,115 @@ def _unescape(raw: bytes) -> str:
     return out.decode("latin-1")
 
 
-def _unhex(raw: bytes) -> str:
-    """<...> hex string → text, one byte per 2 hex digits (whitespace
-    ignored, odd trailing digit padded with 0 per the PDF spec §7.3.4.3).
-    Latin-1 byte decode — correct for simple (1-byte-code) fonts only."""
+def _hex_bytes(raw: bytes) -> bytes:
+    """Hex-string payload → bytes (whitespace ignored, odd trailing digit
+    padded with 0 per the PDF spec §7.3.4.3)."""
     digits = re.sub(rb"\s+", b"", raw)
     if len(digits) % 2:
         digits += b"0"
     try:
-        return bytes.fromhex(digits.decode("ascii")).decode("latin-1")
+        return bytes.fromhex(digits.decode("ascii"))
     except ValueError:
-        return ""
+        return b""
+
+
+def _unhex(raw: bytes, cmap: dict[int, str] | None = None) -> str:
+    """<...> hex string → text.  With no ``cmap``: one byte per 2 hex
+    digits, latin-1 (simple 1-byte-code fonts).  With a ToUnicode
+    ``cmap``: 2-byte character codes mapped through it (Identity-H
+    Type0 fonts; a trailing odd byte — malformed for 2-byte codes — and
+    unmapped codes are dropped)."""
+    bs = _hex_bytes(raw)
+    if cmap is None:
+        return bs.decode("latin-1")
+    return "".join(
+        cmap.get(int.from_bytes(bs[i : i + 2], "big"), "")
+        for i in range(0, len(bs) - 1, 2)
+    )
+
+
+# -- ToUnicode CMap (PDF 32000 §9.10.3) ---------------------------------------
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_HEXTOK_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>")
+# <lo> <hi> [<dst1> <dst2> ...]  (array form: one destination per code)
+_BFRANGE_ARRAY_RE = re.compile(
+    rb"<([0-9A-Fa-f\s]*)>\s*<([0-9A-Fa-f\s]*)>\s*\[((?:\s*<[0-9A-Fa-f\s]*>)*)\s*\]"
+)
+# <lo> <hi> <dstStart>  (incrementing form)
+_BFRANGE_INCR_RE = re.compile(
+    rb"<([0-9A-Fa-f\s]*)>\s*<([0-9A-Fa-f\s]*)>\s*<([0-9A-Fa-f\s]*)>"
+)
+_MAX_BFRANGE = 1 << 16  # CID space bound: reject absurd ranges in garbage
+
+
+def parse_tounicode_cmap(data: bytes) -> dict[int, str]:
+    """bfchar/bfrange sections → {char code → unicode str} (destinations
+    are UTF-16BE per §9.10.3; undecodable destinations are skipped)."""
+    cmap: dict[int, str] = {}
+
+    def dst_str(tok: bytes) -> str:
+        return _hex_bytes(tok).decode("utf-16-be", errors="ignore")
+
+    for m in _BFCHAR_RE.finditer(data):
+        toks = _HEXTOK_RE.findall(m.group(1))
+        for src, dst in zip(toks[0::2], toks[1::2]):
+            sb = _hex_bytes(src)
+            if sb:
+                cmap[int.from_bytes(sb, "big")] = dst_str(dst)
+    for m in _BFRANGE_RE.finditer(data):
+        body = m.group(1)
+        consumed: list[tuple[int, int]] = []
+        for am in _BFRANGE_ARRAY_RE.finditer(body):
+            lo = int.from_bytes(_hex_bytes(am.group(1)), "big")
+            hi = int.from_bytes(_hex_bytes(am.group(2)), "big")
+            if hi - lo >= _MAX_BFRANGE:
+                continue
+            for k, d in enumerate(_HEXTOK_RE.findall(am.group(3))):
+                if lo + k <= hi:
+                    cmap[lo + k] = dst_str(d)
+            consumed.append((am.start(), am.end()))
+        for rm in _BFRANGE_INCR_RE.finditer(body):
+            if any(a <= rm.start() < b for a, b in consumed):
+                continue
+            lo = int.from_bytes(_hex_bytes(rm.group(1)), "big")
+            hi = int.from_bytes(_hex_bytes(rm.group(2)), "big")
+            dst = _hex_bytes(rm.group(3))
+            if not dst or hi - lo >= _MAX_BFRANGE:
+                continue
+            base = int.from_bytes(dst, "big")
+            width = max(len(dst), 2)
+            for k in range(hi - lo + 1):
+                try:
+                    cmap[lo + k] = (
+                        (base + k).to_bytes(width, "big").decode(
+                            "utf-16-be", errors="ignore"
+                        )
+                    )
+                except OverflowError:
+                    break
+    return cmap
+
+
+def _document_cmap(streams: list[bytes]) -> dict[int, str] | None:
+    """The document's merged ToUnicode map, or None when out of envelope:
+    no CMap streams at all, or several CMaps that disagree on a code
+    (distinct fonts reusing the same CID space — needs per-font resource
+    resolution, i.e. the ``real_extract`` hook)."""
+    merged: dict[int, str] | None = None
+    for s in streams:
+        if b"beginbfchar" not in s and b"beginbfrange" not in s:
+            continue
+        part = parse_tounicode_cmap(s)
+        if not part:
+            continue
+        if merged is None:
+            merged = dict(part)
+            continue
+        for k, v in part.items():
+            if merged.setdefault(k, v) != v:
+                return None  # conflicting CMaps: out of envelope
+    return merged
 
 
 def page_pieces_from_lines(lines: list[str]) -> list[str]:
@@ -113,9 +220,16 @@ def _content_streams(pdf: bytes) -> list[bytes]:
 
 def pdf_to_text_lines(pdf: bytes) -> list[str]:
     """Extract the text layer: one entry per show-text operator, in
-    stream order.  Returns [] for PDFs with no extractable simple text."""
+    stream order.  Returns [] for PDFs with no extractable simple text.
+    Hex strings decode as 2-byte CIDs through the document's ToUnicode
+    CMap when one consistent map exists (Identity-H envelope), else as
+    1-byte latin-1 codes (simple fonts)."""
     lines: list[str] = []
-    for stream in _content_streams(pdf):
+    streams = _content_streams(pdf)
+    cmap = _document_cmap(streams)
+    for stream in streams:
+        if b"beginbfchar" in stream or b"beginbfrange" in stream:
+            continue  # a CMap resource, not page content
         for block in _TEXT_BLOCK_RE.finditer(stream):
             body = block.group(1)
             # array TJ first (so its inner strings aren't double-counted),
@@ -126,7 +240,7 @@ def pdf_to_text_lines(pdf: bytes) -> list[str]:
                 lits = list(_STR_IN_ARRAY_RE.finditer(m.group(1)))
                 lit_spans = [(s.start(), s.end()) for s in lits]
                 parts = [(s.start(), _unescape(s.group(1))) for s in lits] + [
-                    (s.start(), _unhex(s.group(1)))
+                    (s.start(), _unhex(s.group(1), cmap))
                     for s in _HEX_IN_ARRAY_RE.finditer(m.group(1))
                     # a literal like (a<b>) must not double-count its
                     # hex-digit-only angle text as a hex string
@@ -144,7 +258,7 @@ def pdf_to_text_lines(pdf: bytes) -> list[str]:
             for m in _TJ_HEX_RE.finditer(body):
                 if any(a <= m.start() < b for a, b in consumed):
                     continue
-                taken.append((m.start(), _unhex(m.group(1))))
+                taken.append((m.start(), _unhex(m.group(1), cmap)))
             for _, text in sorted(taken):
                 if text:
                     lines.append(text)

@@ -76,12 +76,89 @@ def test_pdf_malformed_escape_degrades_gracefully():
     assert lines == ["bad8esc 9"]
 
 
+def _pdf_with_streams(streams: list[bytes], flate: bool = False) -> bytes:
+    """Multi-stream PDF scaffold (e.g. a ToUnicode CMap resource stream
+    alongside the page content stream)."""
+    objs = []
+    for i, s in enumerate(streams):
+        data = zlib.compress(s) if flate else s
+        head = (
+            b"<< /Filter /FlateDecode /Length %d >>" % len(data)
+            if flate
+            else b"<< /Length %d >>" % len(data)
+        )
+        objs.append(
+            b"%d 0 obj " % (10 + i) + head + b"\nstream\n" + data
+            + b"\nendstream endobj\n"
+        )
+    return b"%PDF-1.4\n" + b"".join(objs) + b"trailer << >>\n%%EOF\n"
+
+
+CID_CMAP = (
+    b"/CIDInit /ProcSet findresource begin\n"
+    b"12 dict begin\n"
+    b"begincmap\n"
+    b"/CMapName /Adobe-Identity-UCS def\n"
+    b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+    b"2 beginbfchar\n"
+    b"<0003> <0048>\n"          # CID 3 -> 'H'
+    b"<0004> <00650079>\n"      # CID 4 -> 'ey' (multi-char UTF-16BE dst)
+    b"endbfchar\n"
+    b"2 beginbfrange\n"
+    b"<0010> <0012> <006C>\n"               # 0x10..0x12 -> 'l','m','n'
+    b"<0020> <0021> [<0021> <003F>]\n"      # array form: '!' '?'
+    b"endbfrange\nendcmap\n"
+    b"CMapName currentdict /CMap defineresource pop\nend\nend\n"
+)
+
+
+def test_pdf_cid_identity_h_tounicode_cmap():
+    """VERDICT r3 item 5: the single-consistent-CMap Identity-H envelope
+    decodes 2-byte hex CIDs through the document's ToUnicode CMap —
+    bfchar (incl. multi-char destinations), incrementing bfrange, and
+    array bfrange forms, in Tj and inside TJ arrays; the CMap resource
+    stream itself contributes no text lines."""
+    for flate in (False, True):
+        content = (
+            b"BT /F0 12 Tf <0003 0004 0020> Tj ET\n"   # H + ey + ! = 'Hey!'
+            b"BT [<00030004> <0010>] TJ ET\n"          # 'Hey' + 'l'
+            b"BT <001100120021> ' ET\n"                # 'mn?'
+        )
+        lines = pdf_to_text_lines(_pdf_with_streams([CID_CMAP, content], flate=flate))
+        assert lines == ["Hey!", "Heyl", "mn?"], (flate, lines)
+
+
+def test_pdf_cid_unmapped_and_odd_codes_drop():
+    """Codes absent from the CMap and a trailing odd byte are dropped
+    rather than emitted as garbage."""
+    content = b"BT <0003 FFFE 0004 41> Tj ET"  # FFFE unmapped, 41 odd tail
+    lines = pdf_to_text_lines(_pdf_with_streams([CID_CMAP, content]))
+    assert lines == ["Hey"]
+
+
+def test_pdf_conflicting_cmaps_fall_back_to_single_byte():
+    """Two fonts reusing the same CID space with different mappings need
+    per-font resource resolution (the real_extract hook) — the stdlib
+    codec must detect the conflict and keep the 1-byte interpretation
+    instead of guessing."""
+    other = b"1 beginbfchar\n<0003> <0058>\nendbfchar\n"  # CID 3 -> 'X'
+    content = b"BT <4869> Tj ET"  # 1-byte decode: 'Hi'
+    lines = pdf_to_text_lines(_pdf_with_streams([CID_CMAP, other, content]))
+    assert lines == ["Hi"]
+    # consistent duplicate CMaps stay in-envelope
+    lines = pdf_to_text_lines(
+        _pdf_with_streams([CID_CMAP, CID_CMAP, b"BT <0003> Tj ET"])
+    )
+    assert lines == ["H"]
+
+
 def test_pdf_cid_font_goes_through_real_extract_hook(spark):
-    """CID-keyed (Type0) fonts are outside the stdlib codec's envelope:
-    their hex strings are 2-byte CIDs that need a ToUnicode CMap, so the
-    built-in decode produces control-char garbage.  Production parsing
-    arrives through the ``real_extract`` hook; the Spark plumbing
-    (mapInPandas, span encoding, kernel) is identical."""
+    """CID-keyed (Type0) fonts WITHOUT an embedded consistent ToUnicode
+    CMap are outside the stdlib codec's envelope: their hex strings are
+    2-byte CIDs the codec can't name, so the built-in decode produces
+    control-char garbage.  Production parsing arrives through the
+    ``real_extract`` hook; the Spark plumbing (mapInPandas, span
+    encoding, kernel) is identical."""
     from go_readability_spark.spark.corpus import ingest_pdf_documents
 
     # <00480069> = CIDs 0x0048,0x0069 ("Hi" under an identity CMap) — the
