@@ -40,11 +40,38 @@ def host_probe_s() -> float:
     return round(time.perf_counter() - t0, 2)
 
 
+def host_probe_parallel_s(n_procs: int = 8) -> float:
+    """Parallel-delivery probe: wall time for n_procs simultaneous copies
+    of the single-core loop.  The host takes degradation windows that hit
+    ONLY high-parallelism work (r4: single-core probe 1.2s clean while the
+    32-way extraction wall swung 4.9→6.6s), so headline swings are
+    interpretable only against this number: clean ≈ the single-core
+    probe (perfect delivery); ≥1.5× it means the window is degraded and
+    the headline measures the hypervisor."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("fork")
+    t0 = time.perf_counter()
+    procs = [ctx.Process(target=_busy) for _ in range(n_procs)]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+    return round(time.perf_counter() - t0, 2)
+
+
+def _busy() -> None:
+    x = 0
+    for i in range(20_000_000):
+        x += i * i
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     only = {q for q in os.environ.get("BENCH_QUERIES", "").split(",") if q}
     probe_before = host_probe_s()
+    probe_par_before = host_probe_parallel_s(cpus)
 
     import __spark_entry__ as e
     from go_readability_spark.spark.corpus import synthesize_documents
@@ -84,9 +111,22 @@ def main() -> None:
     # warm python workers (steady-state throughput, not import cost)
     route_and_extract(docs.sample(0.02, seed=1).repartition(cpus)).count()
 
-    # best-of-2 (same steal rationale as the per-query loop below)
+    # min-of-3 by default: the 32-way extraction wall is bimodal across
+    # sessions (r4 measured [4.93, 5.50, 5.73]s min-of-2 under CLEAN
+    # single-core probes, and 7.1 -> 5.9s monotone improvement across 6
+    # consecutive repeats in one session — JVM C2/codegen warm-up plus
+    # hypervisor delivery variance the 1-core probe can't see), so two
+    # repeats often both land on the warm-up shoulder.  The third repeat
+    # costs ~6s and moves the min past the knee; BENCH_HEADLINE_REPEATS
+    # restores the old behavior.
+    headline_repeats = int(
+        os.environ.get(
+            "BENCH_HEADLINE_REPEATS",
+            max(3, int(os.environ.get("BENCH_REPEATS", "2"))),
+        )
+    )
     headline_sec = None
-    for _ in range(max(1, int(os.environ.get("BENCH_REPEATS", "2")))):
+    for _ in range(max(1, headline_repeats)):
         t0 = time.time()
         extracted = route_and_extract(docs)
         n_out = extracted.count()
@@ -173,6 +213,12 @@ def main() -> None:
                 # host-health evidence (see BENCH/BASELINE.md): clean ≈
                 # 1.1-1.4s, ≥2s = degraded window, numbers not comparable
                 "host_probe_sec": [probe_before, host_probe_s()],
+                # cpus-way delivery probe: the headline's own parallelism.
+                # r4 calibration at 32-way: ~1.9s ≈ the host's static
+                # oversubscription ceiling with a clean 1-core probe;
+                # meaningfully above that = parallel-degradation window
+                # (hits the headline even when the 1-core probe is clean)
+                "host_probe_par_sec": [probe_par_before, host_probe_parallel_s(cpus)],
             }
         )
     )
