@@ -1081,15 +1081,27 @@ class Readability:
         return not s or s.isspace()
 
     def _is_element_without_content(self, n: Node) -> bool:
-        return (
-            n.node_type == ELEMENT_NODE
-            and self._is_blank(n.get_text_content())
-            and (
-                len(n.children) == 0
-                or len(n.children)
-                == len(n.get_elements_by_tag_name("br")) + len(n.get_elements_by_tag_name("hr"))
-            )
-        )
+        if n.node_type != ELEMENT_NODE or not self._is_blank(n.get_text_content()):
+            return False
+        k = len(n.children)
+        if k == 0:
+            return True
+        # Quirk-faithful to readability.go:1646-1650, which compares the
+        # DIRECT child count against the DESCENDANT br + hr counts (nested
+        # br/hr can satisfy it) — but in ONE fused walk instead of two full
+        # get_elements_by_tag_name scans, with an early exit once the
+        # count exceeds k (it can never come back down).
+        c = 0
+        stack = n.children[::-1]
+        while stack:
+            child = stack.pop()
+            if child.tag_name in ("BR", "HR"):
+                c += 1
+                if c > k:
+                    return False
+            if child.children:
+                stack += child.children[::-1]
+        return c == k
 
     def _has_child_block_element(self, element: Node) -> bool:
         return any(
