@@ -107,6 +107,8 @@ _DOT = (
 _NORM = "sqrt(aggregate({col}, 0D, (acc, v) -> acc + cast(v as double) * cast(v as double)))"
 
 
+
+
 def _norm_col() -> F.Column:
     """The vector-norm fold, for hoisting BELOW a join: norms are
     per-vector quantities, but inlined into the cosine they re-run per
@@ -119,7 +121,15 @@ def _norm_col() -> F.Column:
 
 
 def _with_cosine(pairs: DataFrame) -> DataFrame:
-    """Score a pair frame carrying qe/ce and hoisted qnorm/cnorm."""
+    """Score a pair frame carrying qe/ce and hoisted qnorm/cnorm.
+
+    Stays a JVM HOF fold deliberately: an Arrow-vectorized dot (pandas
+    UDF) was A/B'd here in r4 and LOST — warm walls 6.5→9.8 s on
+    embedding_near_dup_pairs at sf0.1 — because the band join leaves only
+    ~10³ candidate pairs and shipping two 64-float vectors per pair
+    through Arrow costs more than the interpreted fold saves.  The
+    signature stage (lsh_signatures) is the opposite case: one fold per
+    VECTOR over the whole corpus, where the same vectorization won 3×."""
     return pairs.withColumn(
         "cosine",
         F.round(F.expr(_DOT) / (F.col("qnorm") * F.col("cnorm")), 6),
@@ -185,44 +195,55 @@ FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 
 
 # ------------------------------------------------------- LSH signature/bands
-def _plane_masks(n_planes: int = EMB_PLANES) -> list[int]:
-    """Each ±1 hyperplane packed into one signed 64-bit literal (bit i set
-    ⇔ plane[i] == +1, two's complement for Spark's signed BIGINT)."""
-    masks = []
-    for plane in _hyperplanes(n_planes) if n_planes != EMB_PLANES else _PLANES:
-        m = sum(1 << i for i, c in enumerate(plane) if c == 1)
-        masks.append(m - (1 << 64) if m >= (1 << 63) else m)
-    return masks
-
-
-def _sig_expr_spark(n_planes: int = EMB_PLANES) -> str:
-    """ALL plane dots in one tiny expression.  The planes are ±1, so each
-    is a 64-bit sign MASK literal and the dot is a conditional-sign fold:
-    ``CASE WHEN bit i of mask THEN +x ELSE -x`` — addend values and the
-    sequential left-fold order are IDENTICAL to the explicit ±1-array form
-    the DuckDB oracle keeps, so signatures stay bit-for-bit equal.  The r2
-    shape (16 independent aggregate(zip_with(embedding, array(<64 double
-    literals>), ...)) projections) spent its bench budget in analysis +
-    Janino codegen of the 1k-literal tree, not compute (3.5s cold vs 0.25s
-    of work at sf0.1); 16 bigint literals plan in milliseconds."""
-    masks = ", ".join(f"{m}L" for m in _plane_masks(n_planes))
-    weights = ", ".join(f"{1 << p}L" for p in range(n_planes))
-    return (
-        f"aggregate(zip_with(transform(array({masks}), m ->"
-        f" aggregate(zip_with(embedding, sequence(0, {EMB_DIM - 1}), (x, i) ->"
-        " CASE WHEN (shiftright(m, i) & 1) = 1 THEN cast(x as double)"
-        " ELSE -cast(x as double) END), 0D, (acc, v) -> acc + v)),"
-        f" array({weights}), (d, w) -> CASE WHEN d >= 0D THEN w ELSE 0L END),"
-        " 0L, (acc, v) -> acc + v)"
-    )
-
-
+# Signature-computation lineage (each step same-window A/B-measured):
+# r2 shipped 16 independent aggregate(zip_with(embedding, array(<64 double
+# literals>), ...)) projections — 3.5 s at sf0.1, all plan analysis +
+# Janino codegen of the 1k-literal tree; r3 collapsed it to a sign-mask
+# expression fold (16 bigint literals, plans in ms) — 1.78 s, now
+# execution-bound because HOF lambdas are interpreted; r4 vectorizes the
+# identical fold in numpy inside mapInPandas — 0.61 s, bit-identical.
 def lsh_signatures(
     embeddings: DataFrame, n_planes: int = EMB_PLANES
 ) -> DataFrame:
-    """(vec_id, sig): n_planes-bit random-hyperplane signature —
-    pure map-side expressions, no shuffle."""
-    return embeddings.selectExpr("vec_id", f"{_sig_expr_spark(n_planes)} AS sig")
+    """(vec_id, sig): n_planes-bit random-hyperplane signature — map-side,
+    no shuffle, vectorized in numpy inside ``mapInPandas``.
+
+    Spark HOF lambdas are interpreted, never codegen'd (CLAUDE.md), so the
+    r3 sign-mask expression fold (_sig_expr_spark) was execution-bound:
+    1.78 s for 2000×64 vectors at sf0.1 vs 0.61 s for this numpy form —
+    same window, warm sessions, bit-identical output (0/2000 mismatches).
+    Bit-exactness vs the DuckDB oracle holds because the fold ORDER is
+    preserved: the loop accumulates dimension-by-dimension (acc += x_i ·
+    ±1), each step one IEEE double add per (row, plane) exactly like the
+    oracle's sequential list_reduce, and float32→float64 widening happens
+    before any arithmetic on both sides.  (A single np.dot would use
+    pairwise/SIMD summation — different rounding, sign flips near 0.)"""
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(_hyperplanes(n_planes), dtype=np.float64)  # (P, D)
+    n_p, dim = planes.shape
+    weights = (1 << np.arange(n_p, dtype=np.int64)).astype(np.int64)
+
+    def batches(it):
+        for pdf in it:
+            if not len(pdf):
+                yield pd.DataFrame({"vec_id": pdf["vec_id"], "sig": []})
+                continue
+            e = np.stack(
+                [np.asarray(v, dtype=np.float32) for v in pdf["embedding"]]
+            ).astype(np.float64)
+            acc = np.zeros((len(e), n_p), dtype=np.float64)
+            for i in range(dim):
+                # one sequential double add per (row, plane): ±1·x is an
+                # exact sign flip, so this IS the oracle's left fold
+                acc += e[:, i : i + 1] * planes[:, i]
+            sig = (acc >= 0.0).astype(np.int64) @ weights
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "sig": sig})
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        batches, schema="vec_id long, sig long"
+    )
 
 
 def _banded(

@@ -67,7 +67,7 @@ spark.stop()
 # ONE calibrated probe (CLAUDE.md names bench.host_probe_s the calibrated
 # form) — a verbatim copy here could drift from a recalibration there
 sys.path.insert(0, REPO)
-from bench import host_probe_s  # noqa: E402
+from bench import host_probe_parallel_s, host_probe_s  # noqa: E402
 
 
 def run_level(cpus: int, corpus: str, repeats: int = 2) -> dict:
@@ -158,6 +158,9 @@ def main() -> None:
         # N run would bias the selection toward the ≥0.8 gate instead of
         # merely controlling for steal.
         probe_before = host_probe_s()
+        # the 4N-way delivery probe: the 1-core loop misses windows where
+        # only parallel delivery degrades (BENCH/BASELINE.md r4 note)
+        probe_par_before = host_probe_parallel_s(args.n * 4)
         if probe_before >= 2.0 and not args.skip_probe_gate:
             print(json.dumps({
                 "metric": "scaling_efficiency_N_to_4N",
@@ -185,6 +188,7 @@ def main() -> None:
             "runs": [h1, l1, h2, l2],
             "n_docs": lo["n_docs"],
             "host_probe_s": [probe_before, host_probe_s()],
+            "host_probe_par_s": [probe_par_before, host_probe_parallel_s(args.n * 4)],
         }))
         return
 
