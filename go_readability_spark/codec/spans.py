@@ -72,8 +72,12 @@ _CDATA_CLOSE_RES = {
 }
 # comment close per the DOM parser (_markupbase): '--' + optional ws + '>'
 _COMMENT_CLOSE_RE = re.compile(r"--\s*>")
-_SRC_ATTR_RE = re.compile(
-    r"""\bsrc\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""", re.IGNORECASE
+# attr tokenizer for src extraction: left-to-right name[=value] pairs, so
+# 'src=' TEXT inside an earlier quoted value (<img alt="src=evil"
+# src=real>) is consumed as that value, never misread as the attribute
+_ATTR_SCAN_RE = re.compile(
+    r"([^\s=/>]++)"
+    r"(?:\s*+=\s*+(\"[^\"]*+\"|'[^']*+'|(?![\"'])[^>\s]*+))?+"
 )
 
 
@@ -97,10 +101,22 @@ class Span:
 
 
 def _extract_src(tag_text: str) -> str:
-    m = _SRC_ATTR_RE.search(tag_text)
-    if not m:
-        return ""
-    return m.group(2) or m.group(3) or m.group(4) or ""
+    """The tag's ``src`` value as the DOM parser would store it: attrs
+    tokenized left-to-right (a quoted value containing ``src=`` text is
+    that value, not the attribute), the LAST src value winning on
+    duplicates (set_attribute is first-position last-value-wins,
+    domparser.go:762-770), entities unescaped like handle_starttag's
+    attr decode."""
+    src = ""
+    for m in _ATTR_SCAN_RE.finditer(tag_text):
+        if m.group(1).lower() == "src" and m.group(2) is not None:
+            v = m.group(2)
+            src = v[1:-1] if v[:1] in "\"'" else v
+    if "&" in src:
+        from html import unescape
+
+        src = unescape(src)
+    return src
 
 
 def _opaque_ranges(html: str) -> list[tuple[int, int]]:

@@ -116,6 +116,32 @@ def test_media_tag_with_quoted_gt_and_comments():
         assert [(s.kind, s.media_ref) for s in spans if s.kind != "markup"] == want
 
 
+def test_media_ref_matches_dom_attr_parsing():
+    """media_ref must be the src value the DOM parser would store:
+    'src=' text inside an earlier quoted value is not the attribute,
+    duplicate src keeps the LAST value (set_attribute last-value-wins),
+    and entities decode like handle_starttag's attr decode.  Verified
+    differentially against an actual kernel DOM parse."""
+    from go_readability_spark.codec.spans import html_to_spans
+    from go_readability_spark.kernel.dom import parse_html
+
+    cases = [
+        '<img alt="src=evil.png" src=real.png>',
+        "<img src=a.png src=b.png>",        # last value wins
+        '<img src="a&amp;b.png">',          # entity decode
+        "<img SRC = spaced.png >",
+        '<img srcset="x.png 2x" src=y.png>',
+        "<img alt=it's src=q.png>",
+        '<video poster="p.jpg" src="v.mp4"></video>',
+    ]
+    for html in cases:
+        spans = [s for s in html_to_spans(html) if s.kind != "markup"]
+        assert len(spans) == 1, html
+        doc = parse_html(html)
+        el = doc.get_elements_by_tag_name(spans[0].kind)[0]
+        assert spans[0].media_ref == el.get_attribute("src"), html
+
+
 def test_media_classification_tracks_rawtext_and_bare_quotes():
     """ADVICE r3 regressions: (1) '<!--' inside raw-text (CDATA) element
     content is plain text to the DOM parser — it must not swallow the rest
