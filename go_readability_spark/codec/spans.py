@@ -119,71 +119,134 @@ def _extract_src(tag_text: str) -> str:
     return src
 
 
-def _opaque_ranges(html: str) -> list[tuple[int, int]]:
-    """[start, end) ranges whose bytes the DOM parser never tokenizes as
-    markup: comment bodies, and raw-text (CDATA) element CONTENT — a
-    non-self-closing ``<style>``/``<title>``/… start tag parks the parser
-    in cdata mode (kernel/dom.py ``CDATA_CONTENT_ELEMENTS``; the Go
-    tokenizer's raw-text elements, domparser.go:1102-1104), so ``<img``
-    or ``<!--`` inside is plain text to the DOM (ADVICE r3: an
-    unterminated ``<!--`` inside ``<style>`` must not mark the rest of
-    the document as commented).  Whichever construct opens first wins —
-    each is invisible inside the other.  An unterminated construct
-    swallows the rest of the document, matching the parser (goahead
-    parks in its mode and never emits the tail)."""
-    out: list[tuple[int, int]] = []
-    i, n = 0, len(html)
+# marked-section closers, identical to _markupbase.parse_marked_section:
+# ]]> for CDATA-family sections, ]> for MS conditionals (if/else/endif)
+_MARKED_CLOSE_RE = re.compile(r"]\s*]\s*>")
+_MS_MARKED_CLOSE_RE = re.compile(r"]\s*>")
+_DECLNAME_MATCH = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*\s*").match
+_ASCII_WS = " \t\n\r\f"
+
+
+def _tag_end(html: str, j: int) -> int | None:
+    """End index (exclusive) of the tag starting at ``j``, with
+    html.parser's tolerant quote rule (locatestarttagend_tolerant):
+    quoted attribute values — and only values, i.e. quotes that follow
+    ``=`` plus optional whitespace — may contain ``>``.  None when the
+    tag never closes (the parser parks waiting for more data and the
+    tail is never tokenized)."""
+    i, n = j + 1, len(html)
     while i < n:
-        c = html.find("<!--", i)
-        m = _CDATA_OPEN_RE.search(html, i)
-        while m is not None and m.group(3):
-            # self-closing (<style/>): handle_startendtag, no cdata mode
-            m = _CDATA_OPEN_RE.search(html, m.end())
-        if c < 0 and m is None:
-            break
-        if m is None or (0 <= c < m.start()):
-            cm = _COMMENT_CLOSE_RE.search(html, c + 4)
-            if cm is None:
-                out.append((c, n))
-                break
-            out.append((c, cm.end()))
-            i = cm.end()
-        else:
-            em = _CDATA_CLOSE_RES[m.group(1).lower()].search(html, m.end())
-            if em is None:
-                out.append((m.end(), n))
-                break
-            out.append((m.end(), em.start()))
-            i = em.end()
-    return out
+        ch = html[i]
+        if ch == ">":
+            return i + 1
+        if ch in "\"'":
+            k = i - 1
+            while k > j and html[k] in _ASCII_WS:
+                k -= 1
+            if html[k] == "=":
+                close = html.find(ch, i + 1)
+                if close < 0:
+                    return None  # unterminated quoted value
+                i = close + 1
+                continue
+        i += 1
+    return None
 
 
 def html_to_spans(html: str) -> list[Span]:
     """Decompose raw HTML into interleaved markup/media spans
-    (byte-preserving).  Media tags inside comments or raw-text element
-    content stay markup: the DOM discards comments and tokenizes cdata
-    content as text, so classifying ``<!-- <img src=x> -->`` or
-    ``<style><img src=x></style>`` as media would fabricate a media_ref
-    no parse ever sees."""
-    opaque = _opaque_ranges(html)
-    ci = 0
+    (byte-preserving) via a forward CONSTRUCT walk mirroring the DOM
+    tokenizer: a media tag becomes a media span only where the parser
+    would actually emit a start-tag token.  Media-looking text inside a
+    comment, raw-text (CDATA) element content, a marked section
+    (``<![CDATA[…]]>``), a processing instruction, a declaration, an end
+    tag's extent, or ANOTHER TAG'S quoted attribute value
+    (``<p title="<img src=x>">``) stays markup — the DOM never sees an
+    element there, so classifying it would fabricate a media_ref no
+    parse ever emits (ADVICE r3/r4 class).  Raw-text content inside
+    ``<script>`` IS tokenized (the reference opts script out of raw-text
+    mode, domparser.go:1102-1104), so media tags there classify —
+    matching the DOM's own quirk."""
     spans: list[Span] = []
-    pos = 0
+    out_pos = 0
     offset = 0
-    for m in _MEDIA_TAG_RE.finditer(html):
-        while ci < len(opaque) and opaque[ci][1] <= m.start():
-            ci += 1
-        if ci < len(opaque) and opaque[ci][0] <= m.start() < opaque[ci][1]:
-            continue  # inside a comment / raw-text content — stays markup
-        if m.start() > pos:
-            spans.append(Span("markup", html[pos:m.start()], "", offset))
+
+    def emit_markup(upto: int) -> None:
+        nonlocal out_pos, offset
+        if upto > out_pos:
+            spans.append(Span("markup", html[out_pos:upto], "", offset))
             offset += 1
-        tag_text = m.group(0)
-        spans.append(Span(m.group(1).lower(), tag_text, _extract_src(tag_text), offset))
-        offset += 1
-        pos = m.end()
-    if pos < len(html):
-        spans.append(Span("markup", html[pos:], "", offset))
+            out_pos = upto
+
+    def skip_cdata_content(elem: str, from_i: int) -> int:
+        em = _CDATA_CLOSE_RES[elem].search(html, from_i)
+        # unterminated raw text swallows the tail (goahead parks in
+        # cdata mode and never emits it)
+        return em.end() if em else len(html)
+
+    i, n = 0, len(html)
+    while i < n:
+        j = html.find("<", i)
+        if j < 0:
+            break
+        c = html[j + 1 : j + 2]
+        if ("a" <= c <= "z") or ("A" <= c <= "Z"):
+            mm = _MEDIA_TAG_RE.match(html, j)
+            if mm is not None:
+                emit_markup(j)
+                tag_text = mm.group(0)
+                kind = mm.group(1).lower()
+                spans.append(Span(kind, tag_text, _extract_src(tag_text), offset))
+                offset += 1
+                out_pos = i = mm.end()
+                if kind in _CDATA_CLOSE_RES and not mm.group(3):
+                    i = skip_cdata_content(kind, i)  # iframe raw text
+                continue
+            cm = _CDATA_OPEN_RE.match(html, j)
+            if cm is not None and not cm.group(3):
+                i = skip_cdata_content(cm.group(1).lower(), cm.end())
+                continue
+            e = _tag_end(html, j)
+            if e is None:
+                break  # truncated tag: the tail is data, no more tokens
+            i = e
+        elif c == "/":
+            # endtagfind or the bogus-comment fallback: both end at '>'
+            g = html.find(">", j)
+            i = g + 1 if g >= 0 else n
+        elif c == "!":
+            if html.startswith("<!--", j):
+                cmm = _COMMENT_CLOSE_RE.search(html, j + 4)
+                if cmm is None:
+                    break  # unterminated comment swallows the tail
+                i = cmm.end()
+            elif html.startswith("<![", j):
+                # _markupbase.parse_marked_section: content is
+                # unknown_decl, never elements; the closer depends on the
+                # section name (MS conditionals close at ]>, the rest at
+                # ]]>; a nameless <![ is a stock-parser parse error —
+                # coarse ]]> extent is fine for classification there)
+                nm = _DECLNAME_MATCH(html, j + 3)
+                sect = nm.group().strip().lower() if nm else ""
+                closer = (
+                    _MS_MARKED_CLOSE_RE
+                    if sect in ("if", "else", "endif")
+                    else _MARKED_CLOSE_RE
+                )
+                m = closer.search(html, j + 3)
+                if m is None:
+                    break
+                i = m.end()
+            else:
+                # doctype / bogus declaration: to the next '>'
+                g = html.find(">", j)
+                i = g + 1 if g >= 0 else n
+        elif c == "?":
+            g = html.find(">", j)  # parse_pi ends at '>'
+            i = g + 1 if g >= 0 else n
+        else:
+            i = j + 1  # literal '<' data
+    emit_markup(n)
     return spans
 
 

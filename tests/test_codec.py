@@ -116,6 +116,114 @@ def test_media_tag_with_quoted_gt_and_comments():
         assert [(s.kind, s.media_ref) for s in spans if s.kind != "markup"] == want
 
 
+def _dom_media_seq(html):
+    from go_readability_spark.codec.spans import MEDIA_TAGS
+    from go_readability_spark.kernel.dom import parse_html
+
+    try:
+        doc = parse_html(html)
+    except Exception:
+        return None  # stock-parser parse error: no token stream to compare
+    return [
+        (el.local_name, el.get_attribute("src"))
+        for el in doc.get_elements_by_tag_name("*")
+        if el.local_name in MEDIA_TAGS
+    ]
+
+
+def _assert_media_subseq(html):
+    """Differential invariant vs the DOM: every media SPAN must appear,
+    in order, among the DOM's media elements with the same (tag, src) —
+    i.e. the codec never fabricates a media_ref the parser doesn't emit.
+    (The converse may not hold: quirk tags the quote-aware regex rejects
+    are declassified to markup by design and fall back to the DOM.)"""
+    from go_readability_spark.codec.spans import html_to_spans, spans_to_html
+
+    spans = html_to_spans(html)
+    assert spans_to_html(spans) == html  # byte preservation always
+    dom = _dom_media_seq(html)
+    if dom is None:
+        return
+    got = [(s.kind, s.media_ref) for s in spans if s.kind != "markup"]
+    it = iter(dom)
+    for pair in got:
+        assert any(pair == d for d in it), (
+            f"fabricated media span {pair!r} not in DOM sequence {dom!r} "
+            f"for {html[:120]!r}"
+        )
+
+
+def test_no_fabricated_media_refs_adversarial():
+    cases = [
+        '<p title="<img src=evil.png>">text</p>',
+        "<![CDATA[ <img src=evil2.png> ]]><p>x</p>",
+        '<?php echo "<img src=evil3.png>"; ?><p>x</p>',
+        '<script>var s = "<img src=seen.png>";</script>',
+        "<![if !IE]><img src=cond.png><![endif]><![CDATA[<img src=no.png>]]>",
+        '</p onmouseover="<img src=e4.png>"><img src=real4.png>',
+        "<!DOCTYPE html><img src=d.png>",
+        '<p data-x="unterminated <img src=e5.png>',
+        "<div a=\"1\"b='<img src=e6.png>'><img src=r6.png>",
+        "<title><img src=t.png></title><img src=r7.png>",
+        "<style>/* <!-- */</style><img src=r8.png>",
+    ]
+    for html in cases:
+        _assert_media_subseq(html)
+
+
+def test_no_fabricated_media_refs_golden_corpus():
+    import glob
+
+    for f in sorted(glob.glob("/root/reference/testdata/test-pages/*/source.html")):
+        _assert_media_subseq(open(f, encoding="utf-8").read())
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(
+            [
+                "<img src=a.png>",
+                '<img src="b>c.png">',
+                "<p title=\"<img src=e.png>\">",
+                "<!-- <img src=f.png> -->",
+                "<![CDATA[<img src=g.png>]]>",
+                "<style>",
+                "</style>",
+                "<title>",
+                "</title>",
+                "<script>",
+                "</script>",
+                "<?pi <img src=h.png> ?>",
+                "</p onx=\"<img src=i.png>\">",
+                "text ",
+                "<",
+                ">",
+                '"',
+                "'",
+                "=",
+                "<iframe src=j.html>",
+                "</iframe>",
+                "<video src='k.mp4'>",
+                "<img alt=it's src=l.png>",
+                "<img src=m.png src=n.png>",
+                "<![if x]>",
+                "<![endif]>",
+                "<!doctype html>",
+                "<div a=\"1\"b=\"2\">",
+            ]
+        ),
+        min_size=0,
+        max_size=12,
+    )
+)
+def test_no_fabricated_media_refs_fuzz(parts):
+    _assert_media_subseq("".join(parts))
+
+
 def test_media_ref_matches_dom_attr_parsing():
     """media_ref must be the src value the DOM parser would store:
     'src=' text inside an earlier quoted value is not the attribute,
