@@ -302,7 +302,12 @@ def _dedup_then_extract_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_readability_spark.spark.corpus import synthesize_documents
     from go_readability_spark.spark.extract import route_and_extract
 
-    losers = U.url_dedup_losers(_docs(spark, sf_dir))
+    from go_readability_spark.textops._persist import scratch_persist
+
+    # the loser list feeds two branches (the anti-join and the dropped
+    # count); persisting it runs the canonical-URL scan once, and it is
+    # bounded by the re-fetch rate, so the persist is tiny at any scale
+    losers = scratch_persist(U.url_dedup_losers(_docs(spark, sf_dir)))
     survivors = synthesize_documents(spark, sf_dir, exclude_doc_ids=losers)
     arts = route_and_extract(
         survivors, num_partitions=spark.sparkContext.defaultParallelism

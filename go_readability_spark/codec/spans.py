@@ -127,6 +127,11 @@ _DECLNAME_MATCH = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*\s*").match
 _ASCII_WS = " \t\n\r\f"
 
 
+# run of chars that are neither a tag close nor a quote — lets _tag_end
+# advance at C speed instead of per-char Python
+_TAG_CHUNK_RE = re.compile(r"[^>\"']*")
+
+
 def _tag_end(html: str, j: int) -> int | None:
     """End index (exclusive) of the tag starting at ``j``, with
     html.parser's tolerant quote rule (locatestarttagend_tolerant):
@@ -136,20 +141,23 @@ def _tag_end(html: str, j: int) -> int | None:
     tail is never tokenized)."""
     i, n = j + 1, len(html)
     while i < n:
+        i = _TAG_CHUNK_RE.match(html, i).end()
+        if i >= n:
+            return None
         ch = html[i]
         if ch == ">":
             return i + 1
-        if ch in "\"'":
-            k = i - 1
-            while k > j and html[k] in _ASCII_WS:
-                k -= 1
-            if html[k] == "=":
-                close = html.find(ch, i + 1)
-                if close < 0:
-                    return None  # unterminated quoted value
-                i = close + 1
-                continue
-        i += 1
+        # quote: opens a value only when it follows '=' (+ optional ws)
+        k = i - 1
+        while k > j and html[k] in _ASCII_WS:
+            k -= 1
+        if html[k] == "=":
+            close = html.find(ch, i + 1)
+            if close < 0:
+                return None  # unterminated quoted value
+            i = close + 1
+        else:
+            i += 1
     return None
 
 
