@@ -46,8 +46,32 @@ _EMPTY = {
 }
 
 
-def extract_one(doc_id: str, html: str, uri: str | None, options: Options) -> dict:
-    """Run the kernel on one document's reassembled HTML → one articles-row dict."""
+def extract_one(
+    doc_id: str,
+    html: str,
+    uri: str | None,
+    options: Options,
+    prescreen: bool = False,
+) -> dict:
+    """Run the kernel on one document's reassembled HTML → one articles-row dict.
+
+    ``prescreen`` is the reference's advertised two-step workflow
+    (readerable.go:20-27: "check IsProbablyReaderable before you parse"):
+    the cheap readerable scan runs first and non-readerable documents
+    return ``status='not_readerable'`` rows without paying the grab
+    loop / cleanup / serialization — at crawl scale most pages are
+    navigation or link farms, so the skip dominates the extra parse the
+    check costs on readerable documents (same two-parse cost profile as
+    calling the reference's two entry points in sequence)."""
+    if prescreen:
+        from ..kernel.readerable import is_probably_readerable
+
+        try:
+            readerable = is_probably_readerable(html or "", options)
+        except Exception:
+            readerable = True  # scan failure: let the full parse decide
+        if not readerable:
+            return {"doc_id": doc_id, "status": "not_readerable", "error": None, **_EMPTY}
     result, _article, status = parse_document(html or "", uri or DEFAULT_URI, options)
     if result is None:
         return {"doc_id": doc_id, "status": status, "error": None, **_EMPTY}
@@ -71,7 +95,12 @@ def extract_one(doc_id: str, html: str, uri: str | None, options: Options) -> di
     }
 
 
-def _batch_extractor(options: Options, emit_every: int, emit_bytes: int = 8_000_000):
+def _batch_extractor(
+    options: Options,
+    emit_every: int,
+    emit_bytes: int = 8_000_000,
+    prescreen: bool = False,
+):
     cols = [f.name for f in ARTICLES_SCHEMA.fields]
 
     def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -81,7 +110,9 @@ def _batch_extractor(options: Options, emit_every: int, emit_bytes: int = 8_000_
             has_uri = "uri" in pdf.columns
             for row in pdf.itertuples(index=False):
                 uri = getattr(row, "uri", None) if has_uri else None
-                out.append(extract_one(row.doc_id, row.html, uri, options))
+                out.append(
+                    extract_one(row.doc_id, row.html, uri, options, prescreen)
+                )
                 # byte bound flushes early when a mega article lands in a
                 # mixed batch — the buffer never holds a mega plus dozens
                 # of peers (input length is a safe upper proxy for output)
@@ -109,19 +140,22 @@ def extract_articles(
     df: DataFrame,
     options: Options | None = None,
     emit_every: int = 64,
+    prescreen: bool = False,
 ) -> DataFrame:
     """documents(doc_id, spans[, uri]) → articles (ARTICLES_SCHEMA).
 
     Column pruning: only doc_id/spans/uri are read from the scan, whatever
     else the input table carries; spans are reassembled to HTML JVM-side so
-    only flat strings cross the Arrow boundary.
+    only flat strings cross the Arrow boundary.  ``prescreen`` gates each
+    document through IsProbablyReaderable first (see ``extract_one``).
     """
     opts = options or Options(classes_to_preserve=["page", "caption"])
     cols = [F.col("doc_id"), F.expr(_HTML_EXPR).alias("html")]
     if "uri" in df.columns:
         cols.append(F.col("uri"))
     return df.select(*cols).mapInPandas(
-        _batch_extractor(opts, emit_every), schema=ARTICLES_SCHEMA
+        _batch_extractor(opts, emit_every, prescreen=prescreen),
+        schema=ARTICLES_SCHEMA,
     )
 
 
@@ -164,6 +198,7 @@ def route_and_extract(
     mega_doc_bytes: int = 4_000_000,
     num_partitions: int | None = None,
     mega_partitions: int = 256,
+    prescreen: bool = False,
 ) -> DataFrame:
     """Size-routed extraction: mega-docs take a dedicated fine-grained pass.
 
@@ -212,7 +247,7 @@ def route_and_extract(
             .repartition(num_partitions, F.col("_salt"))
             .drop("_salt", "doc_bytes")
         )
-        return extract_articles(routed, options)
+        return extract_articles(routed, options, prescreen=prescreen)
     small = sized.filter(F.col("doc_bytes") <= mega_doc_bytes).drop("doc_bytes")
     mega = sized.filter(F.col("doc_bytes") > mega_doc_bytes).drop("doc_bytes")
     # Arrow input batches are cut per partition, so worker memory for the
@@ -220,6 +255,6 @@ def route_and_extract(
     # megas across many partitions (empty tasks cost ~ms) so a batch almost
     # always holds ONE mega-doc — emit_every bounds only the output side.
     mega = mega.repartition(mega_partitions, F.col("doc_id"))
-    return extract_articles(small, options).unionByName(
-        extract_articles(mega, options, emit_every=1)
+    return extract_articles(small, options, prescreen=prescreen).unionByName(
+        extract_articles(mega, options, emit_every=1, prescreen=prescreen)
     )

@@ -98,12 +98,16 @@ def run_extraction(
     options: Options | None = None,
     num_partitions: int | None = None,
     fail_buckets: set[int] | None = None,
+    prescreen: bool = False,
 ) -> RunResult:
     """Checkpointed extraction of ``documents`` into ``out_root``.
 
     ``fail_buckets`` injects a failure after extraction of a wave containing
     any of those buckets (before its lineage commit) — used by the resume
-    tests; never set in production.
+    tests; never set in production.  ``prescreen`` gates documents through
+    IsProbablyReaderable before the grab loop (extract.extract_one) —
+    skipped documents land as ``status='not_readerable'`` rows, so lineage
+    and metrics still account for every input document.
     """
     t0 = time.time()
     _ensure_dynamic_overwrite(spark)
@@ -129,7 +133,8 @@ def run_extraction(
             subset = salted_repartition(subset, num_partitions)
         t_wave = time.time()
         extracted = with_bucket(
-            route_and_extract(subset.drop("bucket_id"), options), n_buckets
+            route_and_extract(subset.drop("bucket_id"), options, prescreen=prescreen),
+            n_buckets,
         )
         # Dynamic partition overwrite: re-running a failed wave replaces
         # exactly its own bucket_id= partitions — idempotent.

@@ -40,6 +40,11 @@ def main() -> None:
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--buckets-per-wave", type=int, default=16)
     ap.add_argument("--num-partitions", type=int, default=None)
+    ap.add_argument("--prescreen", action="store_true",
+                    help="gate documents through IsProbablyReaderable before "
+                         "the grab loop (readerable.go's check-before-parse "
+                         "workflow); skipped docs land as "
+                         "status='not_readerable' rows")
     ap.add_argument("--local-cpus", type=int, default=None,
                     help="build a local[N] session (omit under spark-submit)")
     args = ap.parse_args()
@@ -65,6 +70,7 @@ def main() -> None:
         n_buckets=args.n_buckets,
         buckets_per_wave=args.buckets_per_wave,
         num_partitions=args.num_partitions,
+        prescreen=args.prescreen,
     )
     print(
         f"run {res.run_id}: {len(res.buckets_done)} buckets done, "

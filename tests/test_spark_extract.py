@@ -144,3 +144,46 @@ def test_null_and_garbage_spans_degrade_gracefully(spark):
     assert len(rows) == 3
     for r in rows.values():
         assert r.status in ("ok", "no_article", "parse_error")
+
+
+def test_prescreen_gates_through_readerable(spark):
+    """The reference's check-before-parse workflow through the Spark
+    surface: with prescreen=True, every document the kernel's
+    IsProbablyReaderable rejects lands as a status='not_readerable' row
+    (no grab-loop output), and every readerable document extracts
+    IDENTICALLY to the ungated path."""
+    import os
+
+    from go_readability_spark.codec.spans import spans_to_html, Span
+    from go_readability_spark.kernel.options import Options
+    from go_readability_spark.kernel.readerable import is_probably_readerable
+
+    from pyspark.sql import functions as F
+
+    # include the four known non-readerable fixtures plus a readerable slice
+    non_readerable = ("js-link-replacement", "lazy-image-3", "mozilla-2",
+                      "remove-aria-hidden")
+    docs = fixture_documents(spark).filter(
+        F.col("doc_id").isin(*non_readerable) | F.col("doc_id").startswith("0")
+    )
+    opts = Options(classes_to_preserve=["page", "caption"])
+    gated = {r.doc_id: r for r in extract_articles(docs, opts, prescreen=True).collect()}
+    plain = {r.doc_id: r for r in extract_articles(docs, opts).collect()}
+    assert set(gated) == set(plain)
+    n_skipped = 0
+    for name, row in gated.items():
+        src = open(
+            os.path.join(FIXTURES_DIR, name, "source.html"), encoding="utf-8"
+        ).read()
+        truth = is_probably_readerable(src, opts)
+        if truth:
+            assert row.status == plain[name].status, name
+            assert row.text_content == plain[name].text_content, name
+            assert row.title == plain[name].title, name
+        else:
+            n_skipped += 1
+            assert row.status == "not_readerable", name
+            assert row.spans is None and row.text_content is None, name
+    # the golden corpus contains deliberately non-readerable fixtures, so
+    # the gate must actually fire
+    assert n_skipped > 0
