@@ -123,13 +123,17 @@ def _norm_col() -> F.Column:
 def _with_cosine(pairs: DataFrame) -> DataFrame:
     """Score a pair frame carrying qe/ce and hoisted qnorm/cnorm.
 
-    Stays a JVM HOF fold deliberately: an Arrow-vectorized dot (pandas
-    UDF) was A/B'd here in r4 and LOST — warm walls 6.5→9.8 s on
-    embedding_near_dup_pairs at sf0.1 — because the band join leaves only
-    ~10³ candidate pairs and shipping two 64-float vectors per pair
-    through Arrow costs more than the interpreted fold saves.  The
-    signature stage (lsh_signatures) is the opposite case: one fold per
-    VECTOR over the whole corpus, where the same vectorization won 3×."""
+    Stays a JVM HOF fold deliberately for its remaining consumers
+    (cosine_topk's broadcast cross join, lsh_bucketed_topk's ~10³
+    query-candidate pairs): shipping two 64-float vectors per pair
+    through Arrow costs more than the interpreted fold saves at those
+    pair counts (r4 A/B: warm walls 6.5→9.8 s when a per-pair pandas UDF
+    replaced this on the old join-shaped embedding_near_dup_pairs).  The
+    dense-pair case went the other way once the verify moved INTO the
+    band buckets (vectors shipped per band-row, not per pair) — see
+    embedding_near_dup_pairs, 3.1→0.95 s.  The signature stage
+    (lsh_signatures) is one fold per VECTOR over the whole corpus, where
+    numpy vectorization won 3×."""
     return pairs.withColumn(
         "cosine",
         F.round(F.expr(_DOT) / (F.col("qnorm") * F.col("cnorm")), 6),
@@ -203,10 +207,10 @@ FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 # execution-bound because HOF lambdas are interpreted; r4 vectorizes the
 # identical fold in numpy inside mapInPandas — 0.61 s, bit-identical.
 def lsh_signatures(
-    embeddings: DataFrame, n_planes: int = EMB_PLANES
+    embeddings: DataFrame, n_planes: int = EMB_PLANES, keep_embedding: bool = False
 ) -> DataFrame:
-    """(vec_id, sig): n_planes-bit random-hyperplane signature — map-side,
-    no shuffle, vectorized in numpy inside ``mapInPandas``.
+    """(vec_id, sig[, embedding]): n_planes-bit random-hyperplane signature
+    — map-side, no shuffle, vectorized in numpy inside ``mapInPandas``.
 
     Spark HOF lambdas are interpreted, never codegen'd (CLAUDE.md), so the
     r3 sign-mask expression fold (_sig_expr_spark) was execution-bound:
@@ -217,7 +221,12 @@ def lsh_signatures(
     ±1), each step one IEEE double add per (row, plane) exactly like the
     oracle's sequential list_reduce, and float32→float64 widening happens
     before any arithmetic on both sides.  (A single np.dot would use
-    pairwise/SIMD summation — different rounding, sign flips near 0.)"""
+    pairwise/SIMD summation — different rounding, sign flips near 0.)
+
+    ``keep_embedding`` rides the vector along for consumers that need it
+    downstream of the band shuffle (the bucket-local verify) — cheaper at
+    every scale than a fetch-back join keyed per candidate PAIR, and never
+    a broadcast of the full corpus."""
     import numpy as np
     import pandas as pd
 
@@ -228,7 +237,10 @@ def lsh_signatures(
     def batches(it):
         for pdf in it:
             if not len(pdf):
-                yield pd.DataFrame({"vec_id": pdf["vec_id"], "sig": []})
+                out = {"vec_id": pdf["vec_id"], "sig": []}
+                if keep_embedding:
+                    out["embedding"] = pdf["embedding"]
+                yield pd.DataFrame(out)
                 continue
             e = np.stack(
                 [np.asarray(v, dtype=np.float32) for v in pdf["embedding"]]
@@ -239,10 +251,16 @@ def lsh_signatures(
                 # exact sign flip, so this IS the oracle's left fold
                 acc += e[:, i : i + 1] * planes[:, i]
             sig = (acc >= 0.0).astype(np.int64) @ weights
-            yield pd.DataFrame({"vec_id": pdf["vec_id"], "sig": sig})
+            out = {"vec_id": pdf["vec_id"], "sig": sig}
+            if keep_embedding:
+                out["embedding"] = pdf["embedding"]
+            yield pd.DataFrame(out)
 
+    schema = "vec_id long, sig long"
+    if keep_embedding:
+        schema += ", embedding array<float>"
     return embeddings.select("vec_id", "embedding").mapInPandas(
-        batches, schema="vec_id long, sig long"
+        batches, schema=schema
     )
 
 
@@ -250,18 +268,22 @@ def _banded(
     embeddings: DataFrame,
     band_bits: int = EMB_BAND_BITS,
     n_bands: int = EMB_BANDS,
+    keep_embedding: bool = False,
 ) -> DataFrame:
-    """(vec_id, band_idx, band_val) — one row per band per vector; the
-    self-join key that replaces the cross product.  Key cardinality is
-    n_bands · 2^band_bits; at corpus scale band_bits comes from
-    derive_lsh_params so buckets stay ~TARGET_BUCKET_ROWS deep."""
+    """(vec_id, band_idx, band_val[, embedding]) — one row per band per
+    vector; the bucket key that replaces the cross product.  Key
+    cardinality is n_bands · 2^band_bits; at corpus scale band_bits comes
+    from derive_lsh_params so buckets stay ~TARGET_BUCKET_ROWS deep."""
     mask = (1 << band_bits) - 1
     band_args = ", ".join(
         f"{j}, shiftright(sig, {j * band_bits}) & {mask}" for j in range(n_bands)
     )
-    return lsh_signatures(embeddings, n_planes=band_bits * n_bands).selectExpr(
-        "vec_id", f"stack({n_bands}, {band_args}) AS (band_idx, band_val)"
-    )
+    cols = ["vec_id", f"stack({n_bands}, {band_args}) AS (band_idx, band_val)"]
+    if keep_embedding:
+        cols.append("embedding")
+    return lsh_signatures(
+        embeddings, n_planes=band_bits * n_bands, keep_embedding=keep_embedding
+    ).selectExpr(*cols)
 
 
 def _check_band_balance(
@@ -337,9 +359,9 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs: all banded-LSH candidate
     pairs (≥1 shared band of sign bits) with cosine ≥ τ.
 
-    The pair space is pruned by the band join before any dot product; the
-    surviving candidate set is tiny, so the vector fetch-back join and the
-    exact cosine are cheap.  Recall < 1 by construction (LSH); the oracle
+    The pair space is pruned by the band bucketing before any dot
+    product; candidate generation and the exact-cosine verify both happen
+    bucket-locally.  Recall < 1 by construction (LSH); the oracle
     implements the identical bucketing, so values still match exactly.
 
     ``n_vectors`` is the scale path (VERDICT r3): pass the (approximate)
@@ -347,51 +369,99 @@ def embedding_near_dup_pairs(
     ~TARGET_BUCKET_ROWS deep, and a measured balance invariant raises on
     a degenerate bucketing before any pairwise work.  Omitted (the pinned
     oracle shape), the test-scale constants apply and no extra job runs.
-    """
-    # persist: the self-join would otherwise recompute the signature
-    # subtree (16 masked sign folds per vector) on both sides.  No
-    # spread_small here: after the mask-fold signature collapse the
-    # per-vector compute is cheap, and warm-session A/B (2.04s spread vs
-    # 1.87s unspread at sf0.1 — first-run gaps were Janino codegen warmup,
-    # not compute) shows the extra exchange buys nothing; the dense work
-    # (the per-pair dot verify) runs after the band shuffle and is
-    # parallel regardless of the scan's split count.
+
+    Plan shape (r4 rework, same-window warm A/B 3.1 s → 0.95 s at sf0.1,
+    output exactly equal 262/262 rows): the vector RIDES the banded frame
+    through the single bucket shuffle and candidate pairs are generated
+    AND verified bucket-locally in one ``applyInPandas`` — pairs never
+    exist as distributed rows until they survive the threshold.  The old
+    shape (band self-join → distinct 465k pairs → two per-pair vector
+    fetch-back joins → interpreted HOF fold per pair) shipped each
+    embedding once per candidate PAIR; this ships it once per BAND
+    (n_bands · N rows), strictly less traffic whenever buckets average
+    >2·n_bands deep, and the 64-step fold runs vectorized in numpy over
+    all of a bucket's pairs at once.  Rounding stays a JVM ``F.round``
+    over the raw double (Arrow ships IEEE doubles bit-exactly), so oracle
+    parity is inherited from the unchanged cosine/round semantics; the
+    numpy fold accumulates dimension-at-a-time like the oracle's
+    sequential list_reduce (one IEEE add per step — never np.dot, whose
+    pairwise summation flips rounding near 0)."""
+    import numpy as np
+    import pandas as pd
+
     if n_vectors is None:
         params = {"band_bits": EMB_BAND_BITS, "n_bands": EMB_BANDS}
     else:
         params = derive_lsh_params(n_vectors)
-    banded = scratch_persist(
-        _banded(embeddings, band_bits=params["band_bits"], n_bands=params["n_bands"])
-    )
-    if n_vectors is not None:
-        _check_band_balance(banded, params["band_bits"])
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        # balance probe as its own pass (signatures are cheap numpy); the
+        # main path then streams the banded frame exactly once, unpersisted
+        _check_band_balance(
+            _banded(
+                embeddings,
+                band_bits=params["band_bits"],
+                n_bands=params["n_bands"],
+            ),
+            params["band_bits"],
         )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .distinct()
+    banded = _banded(
+        embeddings,
+        band_bits=params["band_bits"],
+        n_bands=params["n_bands"],
+        keep_embedding=True,
     )
-    # Norm hoist (see _norm_col): 465k verify pairs at sf0.1 drop from 3
-    # interpreted HOF chains each to 1 — measured 5.35s → 3.0s.
-    va = embeddings.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("qe"),
-        _norm_col().alias("qnorm"),
-    )
-    vb = embeddings.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("ce"),
-        _norm_col().alias("cnorm"),
-    )
+    dim = EMB_DIM
+    # keep every pair that could ROUND to >= threshold; the exact filter
+    # happens after the JVM-side round below
+    guard = threshold - 1e-6
+    # bound per-chunk temporaries: the balance invariant caps buckets at
+    # _BALANCE_HEADROOM·TARGET_BUCKET_ROWS rows (~8.4M pairs worst case);
+    # 1M-pair chunks keep the per-dim gather temporaries at ~8 MB
+    chunk = 1 << 20
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.Series([], dtype="int64"),
+                "vec_b": pd.Series([], dtype="int64"),
+                "raw": pd.Series([], dtype="float64"),
+            }
+        )
+        m = len(pdf)
+        if m < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id")  # triu ⇒ vec_a < vec_b
+        vid = pdf["vec_id"].to_numpy()
+        e = np.stack(
+            [np.asarray(v, dtype=np.float32) for v in pdf["embedding"]]
+        ).astype(np.float64)
+        nacc = np.zeros(m, dtype=np.float64)
+        for d in range(dim):  # oracle's sequential norm fold
+            nacc += e[:, d] * e[:, d]
+        norm = np.sqrt(nacc)
+        ia, ib = np.triu_indices(m, 1)
+        outs = []
+        for s in range(0, len(ia), chunk):
+            ca, cb = ia[s : s + chunk], ib[s : s + chunk]
+            acc = np.zeros(len(ca), dtype=np.float64)
+            for d in range(dim):  # oracle's sequential dot fold
+                acc += e[ca, d] * e[cb, d]
+            raw = acc / (norm[ca] * norm[cb])
+            keep = raw >= guard
+            if keep.any():
+                outs.append(
+                    pd.DataFrame(
+                        {"vec_a": vid[ca[keep]], "vec_b": vid[cb[keep]], "raw": raw[keep]}
+                    )
+                )
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
     return (
-        _with_cosine(cand.join(va, "vec_a").join(vb, "vec_b"))
+        banded.groupBy("band_idx", "band_val")
+        .applyInPandas(verify, schema="vec_a long, vec_b long, raw double")
+        .withColumn("cosine", F.round(F.col("raw"), 6))
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
+        .distinct()  # a pair agreeing on 2+ bands verifies identically in each
         .orderBy("vec_a", "vec_b")
     )
 
