@@ -355,6 +355,7 @@ def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = NEAR_DUP_THRESHOLD,
     n_vectors: int | None = None,
+    _pair_chunk: int = 1 << 20,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all banded-LSH candidate
     pairs (≥1 shared band of sign bits) with cosine ≥ τ.
@@ -416,7 +417,8 @@ def embedding_near_dup_pairs(
     # bound per-chunk temporaries: the balance invariant caps buckets at
     # _BALANCE_HEADROOM·TARGET_BUCKET_ROWS rows (~8.4M pairs worst case);
     # 1M-pair chunks keep the per-dim gather temporaries at ~8 MB
-    chunk = 1 << 20
+    # (_pair_chunk is a test seam: tiny values force the multi-chunk path)
+    chunk = _pair_chunk
 
     def verify(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(

@@ -172,6 +172,19 @@ def test_lsh_scale_path_matches_pinned_at_small_n(spark):
     assert scaled == pinned
 
 
+def test_near_dup_pair_chunking_is_invisible(spark):
+    """The bucket-local verify folds pairs in bounded chunks; a tiny chunk
+    size (forcing many chunk boundaries inside every bucket) must produce
+    the exact same pair set and cosines as the one-chunk default."""
+    from go_readability_spark.textops import similarity as S
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    whole = S.embedding_near_dup_pairs(emb).collect()
+    chunked = S.embedding_near_dup_pairs(emb, _pair_chunk=7).collect()
+    assert whole == chunked
+    assert len(whole) > 0
+
+
 def test_lsh_balance_invariant_fails_loudly(spark):
     """A degenerate bucketing (all vectors identical → one bucket) must
     raise before any pairwise work, naming the fix."""
