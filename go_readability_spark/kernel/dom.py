@@ -777,8 +777,10 @@ class _Abort(Exception):
 # the subset, so round-trip reparses take the fast path unconditionally.
 #
 # Aborting constructs: <! other than <!doctype/<!--, <?, tags with unquoted
-# '/'-or-'<'-bearing values, bare '=' values, '=+' indicators, truncated
-# tags/comments at EOF — all rare in real corpora, absent from synth pages.
+# '/'-or-'<'-bearing values, bare '='/empty values, '=='+ indicators,
+# truncated tags/comments at EOF — all rare in real corpora, absent from
+# synth pages.  ('='-LED attr names fast-path since r4: they close the
+# last real-page abort, clean-links.)
 
 # Two boundary rules keep this a true subset of html.parser's tokens:
 # 1. The char RIGHT AFTER the tag name must be ASCII whitespace, '/' or
@@ -805,24 +807,40 @@ class _Abort(Exception):
 #    name-start), so the previous char can only be a quote when a QUOTED
 #    VALUE just closed — never mid-token.  (Names starting right after a
 #    BARE value can't occur: the bare-value run would have consumed them.)
-# 4. Attr NAMES may contain quote chars (attrfind_tolerant's name classes
-#    are [^\s/>][^\s/=>]* — quotes legal throughout; real-corpus attr
-#    soup like bbc-1's `presidency."=""` hits this).  The fast name class
-#    [^\s/>=<]++ is a strict subset (it additionally excludes '=' first
-#    chars and '<'); wherever the run stops early on a char feed() would
-#    keep (only '<', or an '='-leading name), the tail pattern can't
-#    match and the whole tag ABORTS to the fallback — tokens never
-#    silently diverge.
+# 4. Attr NAMES may contain quote chars and may LEAD with '='
+#    (attrfind_tolerant's name classes are [^\s/>][^\s/=>]* — quotes
+#    legal throughout, '=' legal as FIRST char only; real-corpus attr
+#    soup like bbc-1's `presidency."=""` and clean-links'
+#    `REL=" stylesheet "=" "` hit both).  The fast name class
+#    (=[^\s/>=<]*+|[^\s/>=<]++) is a strict subset (it additionally
+#    excludes '<'); wherever the run stops early on a char feed() would
+#    keep, the tail pattern can't match and the whole tag ABORTS to the
+#    fallback — tokens never silently diverge.
+# 5. A name with no fast-parsable value must not be followed by '='
+#    (the (?!\s*=) guard): feed()'s value indicator is '=+' and its bare
+#    value class [^>\s]* also eats '=', quotes, and EMPTY values, so any
+#    '=' the fast value alternation leaves behind would bind to the
+#    PREVIOUS name there while the fast splitter would restart a fresh
+#    name at it (`<a b = = c>` → feed: ('b','='),('c',None); unguarded
+#    fast: ('b',None),('=','c')).  The guard turns every such tag into
+#    an _Abort instead of a silent token divergence.
 _FAST_START = re.compile(
     r"<([a-zA-Z][-a-zA-Z0-9._:]*+)"  # tag name: subset of tagfind_tolerant
-    r"((?:(?:[\t\n\r\f ]\s*+|(?<=[\"']))[^\s/>=<]++"  # attr name: subset of attrfind_tolerant
-    r"(?:\s*+=\s*+(?:\"[^\"]*+\"|'[^']*+'|[^\s>\"'`=<]++))?+)*+)"
+    # attr name: subset of attrfind_tolerant — may LEAD with '=' (feed()'s
+    # name class [^\s/>][^\s/=>]* accepts it; clean-links' REL="x"=" " does
+    # this), but '=' never continues a name on either side
+    r"((?:(?:[\t\n\r\f ]\s*+|(?<=[\"']))(?:=[^\s/>=<]*+|[^\s/>=<]++)"
+    # value: either a full '= value', or NO '=' may lie ahead — feed()'s
+    # indicator is '=+' and its bare-value class [^>\s]* eats '='/quotes/
+    # empties, so an '=' the fast value class can't consume would bind
+    # differently there; the lookahead forces those tags to _Abort instead
+    r"(?:\s*+=\s*+(?:\"[^\"]*+\"|'[^']*+'|[^\s>\"'`=<]++)|(?!\s*=)))*+)"
     r"(?:[\t\n\r\f ]\s*+)?+(/?+)>"
 )
 # attr splitter over the validated attrs span (group 2 of _FAST_START)
 _FAST_ATTR = re.compile(
-    r"(?:[\t\n\r\f ]\s*+|(?<=[\"']))([^\s/>=<]++)"
-    r"(?:\s*+=\s*+(\"[^\"]*+\"|'[^']*+'|[^\s>\"'`=<]++))?+"
+    r"(?:[\t\n\r\f ]\s*+|(?<=[\"']))(=[^\s/>=<]*+|[^\s/>=<]++)"
+    r"(?:\s*+=\s*+(\"[^\"]*+\"|'[^']*+'|[^\s>\"'`=<]++)|(?!\s*=))"
 )
 # identical to html.parser's endtagfind
 _FAST_END = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")

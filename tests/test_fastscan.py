@@ -176,6 +176,29 @@ ADVERSARIAL = [
     "<![weird[x]]>",
     "<![RCDATA[q]] >",
     "<![TEMP[t] ] >",
+    # '='-led attr names (r4: the last real-page abort class, clean-links)
+    '<LINK REL=" stylesheet "=" " type="text/css">x',
+    '<a ="x">x',
+    '<a = "x">x',
+    "<a =>x",
+    "<a ==x>x",
+    "<a =a=b>x",
+    '<a b="x" = c>x',
+    "<a =/>x",
+    "<a =x=y>x",
+    '<a =="">x',
+    '<a ="">x',
+    '<a ="" b>x',
+    "<a ='y' c=d>x",
+    '<a "q"="v">x',
+    "<a ='>x",
+    # guard class: an '=' the fast value alternation can't consume must
+    # abort (feed() binds it to the PREVIOUS name via '=+'/bare-'=' values)
+    "<a b = = c>x",
+    "<a b = >x",
+    "<a == >x",
+    "<a b==c>x",
+    "<a =`=`>x",
 ]
 
 
@@ -194,10 +217,11 @@ def test_fastscan_golden_corpus_equivalence():
         src = open(f, encoding="utf-8").read()
         if _assert_equivalent(src):
             fast += 1
-    # r4: only clean-links' nameless ="..." attr construct falls back
-    # (237/238 = 99.6%); regressing below 98% means a fast-path class
-    # (no-space-after-quote separators, quote-bearing names) broke
-    assert fast >= len(files) * 0.98, (fast, len(files))
+    # r4 (late): '='-led attr names closed the last abort class — the
+    # full corpus is fast-path now (238/238).  Any regression means a
+    # fast-path class (quote-adjacent separators, quote-bearing or
+    # '='-led names, the (?!\s*=) guard) broke
+    assert fast == len(files), (fast, len(files))
 
 
 def test_fastscan_covers_synth_and_serializer_output():
@@ -267,6 +291,13 @@ def test_fastscan_covers_synth_and_serializer_output():
                 '"c="2"',
                 'a".="b"',
                 '."=""',
+                '="x"',
+                "= ",
+                "==",
+                "=a=b ",
+                '="',
+                '<a ="v">',
+                '"=" ',
             ]
         ),
         min_size=0,
