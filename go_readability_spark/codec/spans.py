@@ -38,33 +38,19 @@ from ..kernel.regexps import MULTIPLE_WHITESPACES
 
 MEDIA_TAGS = ("img", "video", "audio", "source", "embed", "iframe")
 
-# Quote-aware tag body: '>' is legal inside quoted attribute values
-# (<img alt="a>b" src=...>), so a bare [^>]* would split the tag at the
-# first '>' and lose its src — but quoted values only open after '=',
-# so a bare value may CONTAIN quote chars (<img alt=it's src=x.png>,
-# which html.parser accepts as [^>\s]* — ADVICE r3).  Attr-name runs
-# exclude '/' like attrfind_tolerant's name class, so a trailing '/'
-# reaches the self-closing capture group instead of being eaten as a
-# name char.  Possessive quantifiers: no backtracking on unclosed tags.
-_TAG_BODY = (
-    r"(?:\s(?:[^>\s=/\"']++"    # attr-name run (no '=' '/' quotes ws)
-    r"|=\s*+\"[^\"]*+\""        # ="quoted" ('>' legal inside)
-    r"|=\s*+'[^']*+'"           # ='quoted'
-    r"|=\s*+(?![\"'])[^>\s]*+"  # =bare — may contain quotes and '/'
-    r"|/(?!>)"                  # stray-slash separator between attrs
-    r"|[\"'\s])*+)?+"           # stray quote / whitespace
+# Start-tag tokenization borrows html.parser's OWN compiled patterns —
+# the codec's classification contract is "a media span exactly where the
+# kernel's tokenizer emits a media start-tag token", and the kernel IS
+# html.parser, so any hand-rolled approximation (r4's quote-aware
+# _TAG_BODY regex) eventually diverges on attr soup the tolerant
+# grammar resolves differently (fabricated media spans on inputs
+# check_for_whole_start_tag rejects — r4 late-round review finding).
+from html.parser import (  # noqa: E402
+    attrfind_tolerant as _ATTRFIND,
+    locatestarttagend_tolerant as _LOCATE_START,
+    tagfind_tolerant as _TAGFIND,
 )
-_MEDIA_TAG_RE = re.compile(
-    r"<(img|video|audio|source|embed|iframe)(" + _TAG_BODY + r")(/?+)>",
-    re.IGNORECASE,
-)
-# raw-text (CDATA) element opening tags: these park the DOM parser in
-# cdata mode (kernel/dom.py set_cdata_mode), making their CONTENT plain
-# text — group(3) distinguishes <style/> (startendtag: no cdata mode)
-_CDATA_OPEN_RE = re.compile(
-    r"<(" + "|".join(CDATA_CONTENT_ELEMENTS) + r")(" + _TAG_BODY + r")(/?+)>",
-    re.IGNORECASE,
-)
+
 # identical to the DOM parser's set_cdata_mode close pattern
 _CDATA_CLOSE_RES = {
     elem: re.compile(rf"</\s*{elem}\s*>", re.IGNORECASE)
@@ -72,12 +58,9 @@ _CDATA_CLOSE_RES = {
 }
 # comment close per the DOM parser (_markupbase): '--' + optional ws + '>'
 _COMMENT_CLOSE_RE = re.compile(r"--\s*>")
-# attr tokenizer for src extraction: left-to-right name[=value] pairs, so
-# 'src=' TEXT inside an earlier quoted value (<img alt="src=evil"
-# src=real>) is consumed as that value, never misread as the attribute
-_ATTR_SCAN_RE = re.compile(
-    r"([^\s=/>]++)"
-    r"(?:\s*+=\s*+(\"[^\"]*+\"|'[^']*+'|(?![\"'])[^>\s]*+))?+"
+# check_for_whole_start_tag's incomplete-input indicator set
+_INCOMPLETE_NEXT = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ=/"
 )
 
 
@@ -100,65 +83,105 @@ class Span:
         }
 
 
-def _extract_src(tag_text: str) -> str:
-    """The tag's ``src`` value as the DOM parser would store it: attrs
-    tokenized left-to-right (a quoted value containing ``src=`` text is
-    that value, not the attribute), the LAST src value winning on
-    duplicates (set_attribute is first-position last-value-wins,
-    domparser.go:762-770), entities unescaped like handle_starttag's
-    attr decode."""
-    src = ""
-    for m in _ATTR_SCAN_RE.finditer(tag_text):
-        if m.group(1).lower() == "src" and m.group(2) is not None:
-            v = m.group(2)
-            src = v[1:-1] if v[:1] in "\"'" else v
-    if "&" in src:
-        from html import unescape
-
-        src = unescape(src)
-    return src
-
-
 # marked-section closers, identical to _markupbase.parse_marked_section:
 # ]]> for CDATA-family sections, ]> for MS conditionals (if/else/endif)
 _MARKED_CLOSE_RE = re.compile(r"]\s*]\s*>")
 _MS_MARKED_CLOSE_RE = re.compile(r"]\s*>")
 _DECLNAME_MATCH = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*\s*").match
-_ASCII_WS = " \t\n\r\f"
 
 
-# run of chars that are neither a tag close nor a quote — lets _tag_end
-# advance at C speed instead of per-char Python
-_TAG_CHUNK_RE = re.compile(r"[^>\"']*")
+def _recover(html: str, j: int) -> int:
+    """goahead's close()-time recovery for any construct whose parse_*
+    returned -1 (unterminated comment / marked section / PI / decl /
+    truncated start or end tag): the region up to AND INCLUDING the next
+    ``>`` (else up to — not including — the next ``<``, else one char)
+    becomes data, and tokenizing RESUMES there.  The whole document is
+    one feed() + close() in this engine, so the recovery branch is
+    always the live one — r4's 'tail is never tokenized' model was
+    wrong for every one of these constructs (media tags after an
+    unterminated comment ARE emitted by the DOM parse)."""
+    g = html.find(">", j + 1)
+    if g >= 0:
+        return g + 1
+    g = html.find("<", j + 1)
+    return g if g >= 0 else j + 1
 
 
-def _tag_end(html: str, j: int) -> int | None:
-    """End index (exclusive) of the tag starting at ``j``, with
-    html.parser's tolerant quote rule (locatestarttagend_tolerant):
-    quoted attribute values — and only values, i.e. quotes that follow
-    ``=`` plus optional whitespace — may contain ``>``.  None when the
-    tag never closes (the parser parks waiting for more data and the
-    tail is never tokenized)."""
-    i, n = j + 1, len(html)
-    while i < n:
-        i = _TAG_CHUNK_RE.match(html, i).end()
-        if i >= n:
-            return None
-        ch = html[i]
-        if ch == ">":
-            return i + 1
-        # quote: opens a value only when it follows '=' (+ optional ws)
-        k = i - 1
-        while k > j and html[k] in _ASCII_WS:
-            k -= 1
-        if html[k] == "=":
-            close = html.find(ch, i + 1)
-            if close < 0:
-                return None  # unterminated quoted value
-            i = close + 1
-        else:
-            i += 1
-    return None
+def _start_tag_token(
+    html: str, j: int
+) -> tuple[int, str | None, list[tuple[str, str | None]] | None, bool]:
+    """Mirror check_for_whole_start_tag + parse_starttag at ``j`` (where
+    ``html[j] == '<'`` and ``html[j+1]`` is a letter), under close()-time
+    semantics.  Returns ``(resume, tag, attrs, is_startend)``:
+
+    - token emitted: ``(endpos, tagname, attrs, startend)`` — the token's
+      byte extent is [j, endpos);
+    - malformed start tag (junk the tolerant attr grammar leaves before
+      the closing '>', or a next-char outside check_for_whole_start_tag's
+      incomplete set): ``(resume, None, None, False)`` — the region is
+      DATA, no token, tokenizing resumes at ``resume``;
+    - incomplete at end of input: recovery per ``_recover``.
+    """
+    m = _LOCATE_START.match(html, j)
+    k = m.end()
+    nxt = html[k : k + 1]
+    if nxt == ">":
+        endpos = k + 1
+    elif nxt == "/" and html.startswith("/>", k):
+        endpos = k + 2
+    elif nxt == "" or nxt in _INCOMPLETE_NEXT:
+        # check_for_whole_start_tag → -1: incomplete at EOF ('/' not
+        # followed by '>' lands here too); close() recovery
+        return _recover(html, j), None, None, False
+    else:
+        # "if j > i: return j" — parse_starttag then fails its end check
+        # and emits handle_data(rawdata[i:j]); resume AT j, no token
+        return k, None, None, False
+    tm = _TAGFIND.match(html, j + 1)
+    tag = tm.group(1).lower()
+    # classification fast-out: for a tag that is neither media (by LOCAL
+    # name) nor raw-text-mode (by RAW token name), an emitted token and
+    # parse_starttag's junk-data fallback are indistinguishable to the
+    # span walk — both resume at endpos and emit nothing — so the attr
+    # loop + end check are skipped (restores the pre-rework walk speed;
+    # the full fidelity path runs only where it can change the output)
+    local = tag.rsplit(":", 1)[-1] if ":" in tag else tag
+    if local not in MEDIA_TAGS and tag not in _CDATA_CLOSE_RES:
+        return endpos, None, None, False
+    p = tm.end()
+    attrs: list[tuple[str, str | None]] = []
+    while p < endpos:
+        am = _ATTRFIND.match(html, p)
+        if not am:
+            break
+        name, rest, value = am.group(1, 2, 3)
+        if not rest:
+            value = None
+        elif value[:1] == "'" == value[-1:] or value[:1] == '"' == value[-1:]:
+            value = value[1:-1]
+        if value and "&" in value:
+            from html import unescape
+
+            value = unescape(value)
+        attrs.append((name.lower(), value))
+        p = am.end()
+    end = html[p:endpos].strip()
+    if end not in (">", "/>"):
+        # parse_starttag's own fallback: the WHOLE extent is data
+        return endpos, None, None, False
+    return endpos, tag, attrs, end.endswith("/>")
+
+
+def _src_of(attrs: list[tuple[str, str | None]]) -> str:
+    """``src`` as the DOM stores it: last value wins on duplicates and a
+    VALUELESS ``src`` overwrites with '' (set_attribute normalizes None —
+    <img src=a.png src> stores ''), matching domparser.go:762-770's
+    first-position last-value-wins."""
+    src = ""
+    for name, value in attrs:
+        if name == "src":
+            src = value if value is not None else ""
+    return src
 
 
 def html_to_spans(html: str) -> list[Span]:
@@ -171,10 +194,15 @@ def html_to_spans(html: str) -> list[Span]:
     tag's extent, or ANOTHER TAG'S quoted attribute value
     (``<p title="<img src=x>">``) stays markup — the DOM never sees an
     element there, so classifying it would fabricate a media_ref no
-    parse ever emits (ADVICE r3/r4 class).  Raw-text content inside
-    ``<script>`` IS tokenized (the reference opts script out of raw-text
-    mode, domparser.go:1102-1104), so media tags there classify —
-    matching the DOM's own quirk."""
+    parse ever emits (ADVICE r3/r4 class).  Start-tag extents, the
+    malformed-tag data fallback, and close()-time recovery (tokenizing
+    RESUMES after an unterminated construct's next ``>``) all mirror
+    html.parser's own logic via its own compiled patterns, so the media
+    spans of any parseable document EQUAL the DOM's media-element
+    sequence — pinned by tests/test_codec.py's differential invariant.
+    Raw-text content inside ``<script>`` IS tokenized (the reference
+    opts script out of raw-text mode, domparser.go:1102-1104), so media
+    tags there classify — matching the DOM's own quirk."""
     spans: list[Span] = []
     out_pos = 0
     offset = 0
@@ -199,35 +227,33 @@ def html_to_spans(html: str) -> list[Span]:
             break
         c = html[j + 1 : j + 2]
         if ("a" <= c <= "z") or ("A" <= c <= "Z"):
-            mm = _MEDIA_TAG_RE.match(html, j)
-            if mm is not None:
+            resume, tag, attrs, startend = _start_tag_token(html, j)
+            if tag is None:
+                i = resume  # data region (malformed/incomplete); no token
+                continue
+            # element identity is the LOCAL name (new_element splits
+            # namespace prefixes: <a0:img src=…> IS an img in the DOM,
+            # domparser.go:722-740); cdata-mode routing keys on the RAW
+            # token name like parse_starttag's CDATA_CONTENT_ELEMENTS test
+            local = tag.rsplit(":", 1)[-1] if ":" in tag else tag
+            if local in MEDIA_TAGS:
                 emit_markup(j)
-                tag_text = mm.group(0)
-                kind = mm.group(1).lower()
-                spans.append(Span(kind, tag_text, _extract_src(tag_text), offset))
+                spans.append(Span(local, html[j:resume], _src_of(attrs), offset))
                 offset += 1
-                out_pos = i = mm.end()
-                if kind in _CDATA_CLOSE_RES and not mm.group(3):
-                    i = skip_cdata_content(kind, i)  # iframe raw text
-                continue
-            cm = _CDATA_OPEN_RE.match(html, j)
-            if cm is not None and not cm.group(3):
-                i = skip_cdata_content(cm.group(1).lower(), cm.end())
-                continue
-            e = _tag_end(html, j)
-            if e is None:
-                break  # truncated tag: the tail is data, no more tokens
-            i = e
+                out_pos = resume
+            i = resume
+            if tag in _CDATA_CLOSE_RES and not startend:
+                i = skip_cdata_content(tag, i)  # e.g. iframe raw text
         elif c == "/":
-            # endtagfind or the bogus-comment fallback: both end at '>'
+            # endtagfind / cdata-miss / bogus-comment: all resume after
+            # the next '>' (the tagfind re-search can't skip one — its
+            # name class excludes '>'); none emit start-tag tokens
             g = html.find(">", j)
-            i = g + 1 if g >= 0 else n
+            i = g + 1 if g >= 0 else _recover(html, j)
         elif c == "!":
             if html.startswith("<!--", j):
                 cmm = _COMMENT_CLOSE_RE.search(html, j + 4)
-                if cmm is None:
-                    break  # unterminated comment swallows the tail
-                i = cmm.end()
+                i = cmm.end() if cmm else _recover(html, j)
             elif html.startswith("<![", j):
                 # _markupbase.parse_marked_section: content is
                 # unknown_decl, never elements; the closer depends on the
@@ -242,16 +268,15 @@ def html_to_spans(html: str) -> list[Span]:
                     else _MARKED_CLOSE_RE
                 )
                 m = closer.search(html, j + 3)
-                if m is None:
-                    break
-                i = m.end()
+                i = m.end() if m else _recover(html, j)
             else:
-                # doctype / bogus declaration: to the next '>'
+                # doctype / bogus declaration: to the next '>' (tolerant
+                # HTMLParser does plain find — no quote/subset awareness)
                 g = html.find(">", j)
-                i = g + 1 if g >= 0 else n
+                i = g + 1 if g >= 0 else _recover(html, j)
         elif c == "?":
             g = html.find(">", j)  # parse_pi ends at '>'
-            i = g + 1 if g >= 0 else n
+            i = g + 1 if g >= 0 else _recover(html, j)
         else:
             i = j + 1  # literal '<' data
     emit_markup(n)
