@@ -48,16 +48,23 @@ EMB_BAND_BITS = EMB_PLANES // EMB_BANDS
 # pairs per bucket stay ~TARGET² regardless of corpus size.
 TARGET_BUCKET_ROWS = 256
 # The packed signature is ONE signed BIGINT (weights 1<<p), so
-# n_bands · band_bits ≤ 62.  With 4 bands that caps band_bits at 15
-# (60 planes — the same key width as the SimHash pigeonhole bands),
+# n_bands · band_bits ≤ 62 — enforced per-call from the caller's n_bands
+# in derive_lsh_params.  With the default 4 bands that caps band_bits at
+# 15 (60 planes — the same key width as the SimHash pigeonhole bands),
 # i.e. ~2^15 · TARGET ≈ 8M vectors per band at nominal balance; past
 # that the loud balance invariant below fires and the right tool is
 # the IVF path (ivf_topk), whose list count scales as sqrt(n).
-_MAX_BAND_BITS = 62 // EMB_BANDS
 # balance invariant headroom: real embeddings are correlated, so buckets
 # skew above the uniform expectation; 16× is generous for a healthy run
 # and still orders of magnitude below a degenerate one
 _BALANCE_HEADROOM = 16
+# hard per-bucket cap inside the verify UDF itself: the pinned-constant
+# path (n_vectors omitted) runs WITHOUT the derive_lsh_params balance
+# probe, so a degenerate corpus (10^5 near-identical vectors sharing
+# every band) must fail loudly in-task instead of grinding through
+# m²/2 pairs; the parameterized path's invariant allows at most
+# _BALANCE_HEADROOM·TARGET_BUCKET_ROWS = 4096 rows, well under this
+_BUCKET_VERIFY_CAP = 8192
 
 
 def derive_lsh_params(
@@ -73,7 +80,7 @@ def derive_lsh_params(
     import math
 
     need = math.ceil(math.log2(max(n_vectors / target_bucket_rows, 1.0)))
-    band_bits = min(max(EMB_BAND_BITS, need), 62 // n_bands, _MAX_BAND_BITS)
+    band_bits = min(max(EMB_BAND_BITS, need), 62 // n_bands)
     return {
         "n_planes": n_bands * band_bits,
         "band_bits": band_bits,
@@ -420,6 +427,24 @@ def embedding_near_dup_pairs(
     # (_pair_chunk is a test seam: tiny values force the multi-chunk path)
     chunk = _pair_chunk
 
+    def pair_index_chunks(m: int):
+        """(i<j) index pairs in row-major order, yielded in ~chunk-sized
+        blocks WITHOUT ever materializing all m(m-1)/2 indices (triu on a
+        degenerate 10^5-row bucket would allocate the full pair set
+        before any chunking could help)."""
+        ia_parts: list = []
+        ib_parts: list = []
+        count = 0
+        for i in range(m - 1):
+            ia_parts.append(np.full(m - 1 - i, i, dtype=np.int64))
+            ib_parts.append(np.arange(i + 1, m, dtype=np.int64))
+            count += m - 1 - i
+            if count >= chunk:
+                yield np.concatenate(ia_parts), np.concatenate(ib_parts)
+                ia_parts, ib_parts, count = [], [], 0
+        if count:
+            yield np.concatenate(ia_parts), np.concatenate(ib_parts)
+
     def verify(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
@@ -431,7 +456,14 @@ def embedding_near_dup_pairs(
         m = len(pdf)
         if m < 2:
             return empty
-        pdf = pdf.sort_values("vec_id")  # triu ⇒ vec_a < vec_b
+        if m > _BUCKET_VERIFY_CAP:
+            raise ValueError(
+                f"LSH band bucket holds {m} vectors (> {_BUCKET_VERIFY_CAP}): "
+                "the corpus is too large or too self-similar for the pinned "
+                "test-scale bands — pass n_vectors so derive_lsh_params picks "
+                "wider bands (with the balance invariant), or use ivf_topk"
+            )
+        pdf = pdf.sort_values("vec_id")  # row-major (i<j) ⇒ vec_a < vec_b
         vid = pdf["vec_id"].to_numpy()
         e = np.stack(
             [np.asarray(v, dtype=np.float32) for v in pdf["embedding"]]
@@ -440,10 +472,8 @@ def embedding_near_dup_pairs(
         for d in range(dim):  # oracle's sequential norm fold
             nacc += e[:, d] * e[:, d]
         norm = np.sqrt(nacc)
-        ia, ib = np.triu_indices(m, 1)
         outs = []
-        for s in range(0, len(ia), chunk):
-            ca, cb = ia[s : s + chunk], ib[s : s + chunk]
+        for ca, cb in pair_index_chunks(m):
             acc = np.zeros(len(ca), dtype=np.float64)
             for d in range(dim):  # oracle's sequential dot fold
                 acc += e[ca, d] * e[cb, d]

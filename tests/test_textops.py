@@ -185,6 +185,26 @@ def test_near_dup_pair_chunking_is_invisible(spark):
     assert len(whole) > 0
 
 
+def test_near_dup_default_path_caps_degenerate_buckets(spark):
+    """The pinned-constant path runs without the derive_lsh_params
+    balance probe, so the verify UDF itself must refuse a pathologically
+    deep band bucket (identical vectors all sharing every band) instead
+    of grinding through m²/2 pairs."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from go_readability_spark.textops import similarity as S
+
+    deg = spark.range(S._BUCKET_VERIFY_CAP + 100).select(
+        F.col("id").alias("vec_id"),
+        F.expr("transform(sequence(1, 64), i -> cast(1.0 as float))").alias(
+            "embedding"
+        ),
+    )
+    with _pytest.raises(Exception, match="pinned test-scale bands"):
+        S.embedding_near_dup_pairs(deg).collect()
+
+
 def test_lsh_balance_invariant_fails_loudly(spark):
     """A degenerate bucketing (all vectors identical → one bucket) must
     raise before any pairwise work, naming the fix."""
