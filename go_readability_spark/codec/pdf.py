@@ -98,14 +98,24 @@ def _unhex(raw: bytes, cmap: dict[int, str] | None = None) -> str:
     digits, latin-1 (simple 1-byte-code fonts).  With a ToUnicode
     ``cmap``: 2-byte character codes mapped through it (Identity-H
     Type0 fonts; a trailing odd byte — malformed for 2-byte codes — and
-    unmapped codes are dropped)."""
+    unmapped codes are dropped).  A string NONE of whose 2-byte codes
+    exist in the document CMap falls back to 1-byte latin-1: in a
+    mixed-font document that is a simple font's hex string, not CID
+    text (partially-mapped strings stay CID-decoded — resolving those
+    needs per-font resources, the ``real_extract`` envelope)."""
     bs = _hex_bytes(raw)
     if cmap is None:
         return bs.decode("latin-1")
-    return "".join(
-        cmap.get(int.from_bytes(bs[i : i + 2], "big"), "")
-        for i in range(0, len(bs) - 1, 2)
-    )
+    out: list[str] = []
+    mapped = 0
+    for i in range(0, len(bs) - 1, 2):
+        v = cmap.get(int.from_bytes(bs[i : i + 2], "big"))
+        if v is not None:
+            mapped += 1
+            out.append(v)
+    if mapped == 0 and bs:
+        return bs.decode("latin-1")
+    return "".join(out)
 
 
 # -- ToUnicode CMap (PDF 32000 §9.10.3) ---------------------------------------
@@ -171,6 +181,17 @@ def parse_tounicode_cmap(data: bytes) -> dict[int, str]:
     return cmap
 
 
+def _is_cmap_resource(s: bytes) -> bool:
+    """A standalone ToUnicode CMap stream: carries bfchar/bfrange
+    sections and NO BT…ET text block.  Page content quoting the literal
+    text 'beginbfchar' inside a Tj string has text blocks, so it is
+    neither skipped as a resource nor merged into the document CMap."""
+    return (
+        (b"beginbfchar" in s or b"beginbfrange" in s)
+        and _TEXT_BLOCK_RE.search(s) is None
+    )
+
+
 def _document_cmap(streams: list[bytes]) -> dict[int, str] | None:
     """The document's merged ToUnicode map, or None when out of envelope:
     no CMap streams at all, or several CMaps that disagree on a code
@@ -178,7 +199,7 @@ def _document_cmap(streams: list[bytes]) -> dict[int, str] | None:
     resolution, i.e. the ``real_extract`` hook)."""
     merged: dict[int, str] | None = None
     for s in streams:
-        if b"beginbfchar" not in s and b"beginbfrange" not in s:
+        if not _is_cmap_resource(s):
             continue
         part = parse_tounicode_cmap(s)
         if not part:
@@ -228,7 +249,7 @@ def pdf_to_text_lines(pdf: bytes) -> list[str]:
     streams = _content_streams(pdf)
     cmap = _document_cmap(streams)
     for stream in streams:
-        if b"beginbfchar" in stream or b"beginbfrange" in stream:
+        if _is_cmap_resource(stream):
             continue  # a CMap resource, not page content
         for block in _TEXT_BLOCK_RE.finditer(stream):
             body = block.group(1)

@@ -136,6 +136,28 @@ def test_pdf_cid_unmapped_and_odd_codes_drop():
     assert lines == ["Hey"]
 
 
+def test_pdf_page_quoting_cmap_tokens_still_extracts():
+    """Page content whose Tj literal merely CONTAINS CMap tokens is page
+    content: it must extract (not be skipped as a resource stream) and
+    its quoted — conflicting — bfchar snippet must not poison the
+    document CMap (a real resource stream has no BT…ET block)."""
+    content = (
+        b"BT (beginbfchar <0003> <0058> endbfchar) Tj ET\n"
+        b"BT <0003> Tj ET"
+    )
+    lines = pdf_to_text_lines(_pdf_with_streams([CID_CMAP, content]))
+    assert lines == ["beginbfchar <0003> <0058> endbfchar", "H"]
+
+
+def test_pdf_simple_font_hex_in_cid_document_falls_back():
+    """A hex string NONE of whose 2-byte codes exist in the document
+    CMap is a simple font's 1-byte-code text in a mixed-font document —
+    decode latin-1 instead of silently dropping it."""
+    content = b"BT <0003> Tj ET\nBT <4869> Tj ET"  # CID 'H'; simple 'Hi'
+    lines = pdf_to_text_lines(_pdf_with_streams([CID_CMAP, content]))
+    assert lines == ["H", "Hi"]
+
+
 def test_pdf_conflicting_cmaps_fall_back_to_single_byte():
     """Two fonts reusing the same CID space with different mappings need
     per-font resource resolution (the real_extract hook) — the stdlib
