@@ -429,6 +429,22 @@ def test_dedup_groups_raises_when_not_converged(spark):
         dedup_groups(docs, max_iters=0)
 
 
+def test_connected_components_long_chain_converges_log_rounds(spark):
+    """A 59-hop path graph (chained pairwise near-dups — adjacent pairs
+    over threshold without transitive pairs) must collapse to one
+    component WITHIN the default max_iters: the pointer-jump shortcut
+    converges in O(log diameter) rounds where plain min-propagation
+    would need 59 and raise."""
+    from go_readability_spark.textops.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(59)], "doc_a int, doc_b int"
+    )
+    rows = connected_components(chain, max_iters=8).collect()
+    assert len(rows) == 60
+    assert all(r.canonical_doc_id == 0 for r in rows)
+
+
 def test_dedup_groups_matches_union_find(spark):
     """Connected-components canonical assignment must equal an exact
     union-find over the same LSH pair graph (transitive closure)."""
