@@ -529,34 +529,61 @@ FROM reach GROUP BY doc_id ORDER BY doc_id
 def simhash_docs(documents: DataFrame) -> DataFrame:
     """(doc_id, simhash): {SIMHASH_BITS}-bit SimHash over word tokens
     (per-word hash = first {SIMHASH_HEX_CHARS} md5 hex chars → BIGINT) —
-    pure map-side codegen'd expressions, no shuffle."""
-    # bit test via shiftright, not division: h / 2^j is DOUBLE division in
-    # Spark SQL and silently loses low bits past the 53-bit mantissa.
-    # DELIBERATELY {SIMHASH_BITS} separate bit-sum columns, NOT one nested
-    # higher-order expression: ``hs`` is referenced {SIMHASH_BITS} times
-    # here, which blocks CollapseProject from inlining the md5-per-word
-    # transform into each bit lambda — a single-reference rewrite gets
-    # collapsed and recomputes the md5 pass once PER BIT (measured 9×
-    # slower at sf0.1).  The per-bit integer sums are order-independent,
-    # matching the DuckDB oracle's list_sum exactly.
-    bit_sums = [
-        "aggregate(hs, 0L, (acc, h) -> acc + "
-        f"(CASE WHEN (shiftright(h, {j}) & 1) = 1 THEN 1 ELSE -1 END))"
-        f" AS s{j}"
-        for j in range(SIMHASH_BITS)
-    ]
-    hashed = spread_small(documents).select(
-        "doc_id",
-        F.expr(
-            f"transform(split(text, ' '), t -> cast(conv(substr(md5(t), 1, {SIMHASH_HEX_CHARS}), 16, 10) as bigint))"
-        ).alias("hs"),
+    map-side only, no shuffle; the per-doc bit fold is vectorized in numpy
+    inside ``mapInPandas`` (the per-ROW fold rule from the LSH signature
+    stage).
+
+    The pure-Catalyst alternative needs {SIMHASH_BITS} separate
+    ``aggregate`` HOF columns (one interpreted pass over the word-hash
+    array PER BIT — a single nested expression gets CollapseProject-inlined
+    and recomputes the md5 transform per bit, measured 9× slower), and
+    just ANALYZING that 60-aggregate tree costs ~2.7 s per fresh plan.
+    A/B at sf0.1 (5k docs, local[32]): numpy 0.55–0.59 s warm / 2.5 s
+    plan-cold vs HOF 0.75–0.85 s warm / 5.2 s plan-cold, output exactly
+    equal.  Exactness is free here: per-bit signals are INTEGER sums of
+    ±1 (order-independent), computed as 2·ones−n over md5-cached unique
+    tokens, so the numpy path matches the DuckDB oracle bit-for-bit.
+    Python's ``str.split(' ')`` and Spark/DuckDB ``split`` agree on
+    leading/trailing/adjacent separators (all keep empty tokens);
+    NULL text folds to fingerprint 0 on both engines."""
+    import numpy as np  # vectorized bit fold; baked into the image
+    from pyspark.sql import types as T
+
+    shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
+    pows = np.uint64(1) << shifts
+    hexc = SIMHASH_HEX_CHARS
+
+    def fold(batches):
+        import hashlib
+        from collections import Counter
+
+        cache: dict = {}
+        for pdf in batches:
+            fps = np.zeros(len(pdf), dtype=np.int64)
+            for i, text in enumerate(pdf["text"].values):
+                if text is None:
+                    continue  # NULL text → all-bit sums NULL → fp 0 (expr parity)
+                counts = Counter(text.split(" "))
+                hs = np.empty(len(counts), dtype=np.uint64)
+                wt = np.empty(len(counts), dtype=np.int64)
+                for k, (tok, cnt) in enumerate(counts.items()):
+                    v = cache.get(tok)
+                    if v is None:
+                        v = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:hexc], 16)
+                        cache[tok] = v
+                    hs[k] = v
+                    wt[k] = cnt
+                ones = wt @ ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+                signs = 2 * ones - int(wt.sum())  # integer ±1 sum per bit
+                fps[i] = int(((signs > 0).astype(np.uint64) * pows).sum())
+            yield pdf[["doc_id"]].assign(simhash=fps)
+
+    out_schema = T.StructType(
+        [documents.schema["doc_id"], T.StructField("simhash", T.LongType())]
     )
-    sums = hashed.selectExpr("doc_id", *bit_sums)
-    fp_expr = " + ".join(
-        f"(CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-        for j in range(SIMHASH_BITS)
+    return spread_small(documents).select("doc_id", "text").mapInPandas(
+        fold, out_schema
     )
-    return sums.selectExpr("doc_id", f"({fp_expr}) AS simhash")
 
 
 def _simhash_duck_fp_cte() -> str:
