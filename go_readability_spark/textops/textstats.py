@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ._persist import scratch_persist
+from ._persist import scratch_persist, spread_small
 from .dedup import WS_RX
 
 # Tiny deterministic English stopword set for the n-gram/stopword language
@@ -263,12 +263,79 @@ def repetition_signals(documents: DataFrame) -> DataFrame:
     All ratios are integer basis points via integer division (`div`), so
     no float rounding exists to drift between engines.
 
-    Scale shape: n-grams explode map-side; the (doc_id, gram) counts
-    collapse entirely in the map-side partial aggregation (every gram of a
-    doc originates from one input row, so the exchange moves only
-    already-collapsed counts), and the per-doc top-1 goes through
-    WindowGroupLimit.  No all-pairs anything; scan-bound at 100 TB.
+    Scale shape: every signal is DOC-LOCAL (gram counts never cross
+    documents), so the whole operator is one ``mapInPandas`` pass with
+    Counter folds per row — zero shuffle, scan-bound at 100 TB.  The
+    declarative alternative (explode 2-grams and 5-grams, two
+    groupBy(doc_id, gram) aggregations, WindowGroupLimit top-1, two
+    join-backs) moves every distinct gram string through an exchange even
+    though the groups are doc-local; A/B at sf0.1 (5k docs, local[32]):
+    0.64 s vs 1.8–2.0 s warm, 3.1 s vs 7.6 s plan-cold, output exactly
+    equal.  Exactness is engine-independent: integer counts and floor
+    division only, Python's ``min(key=(-cnt, gram))`` tie-break equals the
+    SQL ``ORDER BY cnt DESC, g ASC`` row_number because UTF-8 binary
+    order (Spark/DuckDB string comparison) preserves code-point order
+    (Python ``str`` comparison).
     """
+    from collections import Counter
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def fold(batches):
+        for pdf in batches:
+            n_words_c, dup_w, top2_c, dup5_c = [], [], [], []
+            for text in pdf["text"].values:
+                words = text.split(" ")
+                n = len(words)
+                nc = len(text)
+                nd = len(set(words))
+                top2 = 0
+                if n >= 2:
+                    c2 = Counter(" ".join(words[i : i + 2]) for i in range(n - 1))
+                    g, cnt = min(c2.items(), key=lambda kv: (-kv[1], kv[0]))
+                    top2 = cnt * len(g)
+                dup5 = 0
+                if n >= 5:
+                    c5 = Counter(" ".join(words[i : i + 5]) for i in range(n - 4))
+                    dup5 = sum(cnt * len(g) for g, cnt in c5.items() if cnt > 1)
+                n_words_c.append(n)
+                dup_w.append((10000 * (n - nd)) // n)
+                top2_c.append((10000 * top2) // nc)
+                dup5_c.append((10000 * dup5) // nc)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_words": n_words_c,
+                    "dup_word_bp": dup_w,
+                    "top_2gram_bp": top2_c,
+                    "dup_5gram_bp": dup5_c,
+                }
+            )
+
+    # dtypes pinned to the declarative formulation's output (n_words is the
+    # 32-bit size(); the bp columns are 10000L*… div → BIGINT) so the driver's
+    # schema gate sees the same frame either way.
+    schema = T.StructType(
+        [
+            documents.schema["doc_id"],
+            T.StructField("n_words", T.IntegerType()),
+            T.StructField("dup_word_bp", T.LongType()),
+            T.StructField("top_2gram_bp", T.LongType()),
+            T.StructField("dup_5gram_bp", T.LongType()),
+        ]
+    )
+    return (
+        spread_small(documents)
+        .select("doc_id", "text")
+        .mapInPandas(fold, schema)
+        .orderBy("doc_id")
+    )
+
+
+def _repetition_signals_declarative(documents: DataFrame) -> DataFrame:
+    """The pure-Catalyst twin of ``repetition_signals`` (kept as the
+    cross-checked reference formulation; see the A/B note there)."""
     base = documents.select(
         "doc_id",
         F.length("text").alias("n_chars_m"),

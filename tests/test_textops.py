@@ -577,6 +577,32 @@ def test_repetition_signals_hand_computed(spark):
     assert (r2.dup_word_bp, r2.dup_5gram_bp) == (0, 0)
 
 
+def test_repetition_signals_matches_declarative_twin(spark):
+    """The mapInPandas fold must stay exactly equal to the retained
+    pure-Catalyst formulation (same schema, same rows) — including on
+    tie-heavy and empty-ish inputs where the top-2gram lexicographic
+    tie-break and the <2-word guards bite."""
+    from go_readability_spark.textops.textstats import (
+        _repetition_signals_declarative,
+        repetition_signals,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "b a b a"),          # 2-gram tie: 'a b' vs 'b a' → lexicographic
+            (2, "solo"),             # no 2-grams at all
+            (3, "x x x x x x x x"),  # maximal repetition, dup 5-grams
+            (4, "é ü é ü é"),        # non-ASCII tie-break path
+            (5, "a  b"),             # empty token from adjacent separators
+        ],
+        "doc_id long, text string",
+    )
+    fast = repetition_signals(docs)
+    slow = _repetition_signals_declarative(docs)
+    assert fast.schema == slow.schema
+    assert [tuple(r) for r in fast.collect()] == [tuple(r) for r in slow.collect()]
+
+
 def test_asof_carry_forward_semantics(spark):
     """Pin the as-of tie/boundary rules directly on the union+window core:
     same-day order matches (lag 0), later orders are invisible, customers
