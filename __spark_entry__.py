@@ -217,6 +217,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("doc_id"),
         "dedup_simhash": lambda spark, sf: D.simhash_fingerprints(_docs(spark, sf)),
         "extract_summary": _extract_summary_query,
+        "corpus_pack_sequences": lambda spark, sf: TS.pack_sequences(
+            _docs(spark, sf)
+        ),
     }
 
 
@@ -231,6 +234,7 @@ SELECT * FROM (VALUES
 ) AS t(status, n_docs, total_length, min_length, max_length, n_titles)
 ORDER BY status
 """,
+        "corpus_pack_sequences": TS.pack_sequences_oracle_sql(),
     }
 
 

@@ -866,3 +866,86 @@ FROM packed
 GROUP BY source, budget_tokens
 ORDER BY source
 """
+
+
+# Training-sequence capacity for pack_sequences: small enough that sf0.01
+# documents straddle boundaries (the interesting case), realistic shape
+# (pretraining pipelines pack 2k-8k-token sequences).
+PACK_SEQ_LEN = 2048
+
+
+def pack_sequences(documents: DataFrame, seq_len: int = PACK_SEQ_LEN) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay every document end-to-end in
+    a deterministic per-source order and chop the stream into fixed
+    ``seq_len``-token training sequences — the packing stage that turns a
+    filtered corpus into pretraining batches (documents straddle sequence
+    boundaries; nothing is padded or dropped).  Per document:
+    (doc_id, source, n_tokens, tok_start, seq_first, seq_last), where
+    ``tok_start`` is the document's offset in its source's token stream
+    and ``seq_first``/``seq_last`` the sequence ids it lands in.
+
+    No reference equivalent (corpus tier).  Deterministic like
+    ``corpus_mixture``: the stream order is the same md5-hash admission
+    recipe, so a re-run, another partitioning, or the DuckDB oracle lay
+    out the SAME stream.  Whitespace tokens (``split`` on ' ') — the
+    empty string still yields one token, so ``n_tokens >= 1`` always and
+    ``seq_last = (tok_start + n_tokens - 1) div seq_len`` needs no
+    zero-length guard.
+
+    Scale shape: ONE cumulative-sum window per source (the only
+    exchange); everything after is map-side integer division.  Window
+    skew follows source size, same story as ``corpus_mixture`` — at
+    100 TB pre-aggregate per (source, hash-bucket) and prefix-sum bucket
+    subtotals, which leaves this operator's math unchanged.  All output
+    columns BIGINT on both engines (DuckDB window SUM is HUGEINT —
+    cast; see the oracle).
+    """
+    key = F.expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)"
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(key.asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = documents.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    return (
+        sized.withColumn(
+            "tok_start", F.sum("n_tokens").over(w) - F.col("n_tokens")
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "tok_start",
+            F.expr(f"tok_start div {seq_len}").alias("seq_first"),
+            F.expr(f"(tok_start + n_tokens - 1) div {seq_len}").alias("seq_last"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def pack_sequences_oracle_sql(seq_len: int = PACK_SEQ_LEN) -> str:
+    return f"""
+WITH sized AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS key
+  FROM documents
+), laid AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY key ASC, doc_id ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens AS BIGINT) AS tok_start
+  FROM sized
+)
+SELECT doc_id, source, n_tokens, tok_start,
+       tok_start // {seq_len} AS seq_first,
+       (tok_start + n_tokens - 1) // {seq_len} AS seq_last
+FROM laid
+ORDER BY doc_id
+"""

@@ -603,6 +603,38 @@ def test_repetition_signals_matches_declarative_twin(spark):
     assert [tuple(r) for r in fast.collect()] == [tuple(r) for r in slow.collect()]
 
 
+def test_pack_sequences_boundary_semantics(spark):
+    """Pin concat-and-chunk packing on a stream small enough to lay out by
+    hand: with seq_len=10 and one source, documents straddle boundaries
+    exactly when their token span crosses a multiple of 10, the stream is
+    gapless (each tok_start equals the previous doc's tok_start+n_tokens
+    in admission order), and empty text still occupies one token slot."""
+    from go_readability_spark.textops.textstats import pack_sequences
+
+    docs = spark.createDataFrame(
+        [
+            (1, "src1", " ".join(["w"] * 7)),   # 7 tokens
+            (2, "src1", " ".join(["w"] * 6)),   # 6 tokens
+            (3, "src1", ""),                    # empty text = 1 token
+            (4, "src1", " ".join(["w"] * 25)),  # spans 3+ sequences
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {r.doc_id: r for r in pack_sequences(docs, seq_len=10).collect()}
+    assert {r.n_tokens for r in rows.values()} == {7, 6, 1, 25}
+    assert rows[3].n_tokens == 1  # '' splits to one empty token
+    # gapless stream in admission (tok_start) order
+    laid = sorted(rows.values(), key=lambda r: r.tok_start)
+    pos = 0
+    for r in laid:
+        assert r.tok_start == pos
+        assert r.seq_first == pos // 10
+        assert r.seq_last == (pos + r.n_tokens - 1) // 10
+        pos += r.n_tokens
+    # the 25-token doc spans at least three sequences wherever it lands
+    assert rows[4].seq_last - rows[4].seq_first >= 2
+
+
 def test_asof_carry_forward_semantics(spark):
     """Pin the as-of tie/boundary rules directly on the union+window core:
     same-day order matches (lag 0), later orders are invisible, customers
