@@ -557,8 +557,15 @@ def simhash_docs(documents: DataFrame) -> DataFrame:
         import hashlib
         from collections import Counter
 
+        # Token→hash memo shared across the task's Arrow batches.  Bounded:
+        # a web-corpus partition has heavy-tailed vocabulary, and an
+        # unbounded per-task dict (× 32 concurrent workers) is an OOM risk
+        # at real scale; clearing keeps ~all the hit rate (Zipf head).
         cache: dict = {}
+        cache_cap = 1 << 20
         for pdf in batches:
+            if len(cache) > cache_cap:
+                cache.clear()
             fps = np.zeros(len(pdf), dtype=np.int64)
             for i, text in enumerate(pdf["text"].values):
                 if text is None:

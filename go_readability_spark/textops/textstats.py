@@ -286,6 +286,14 @@ def repetition_signals(documents: DataFrame) -> DataFrame:
         for pdf in batches:
             n_words_c, dup_w, top2_c, dup5_c = [], [], [], []
             for text in pdf["text"].values:
+                if text is None:
+                    # declarative parity: size(split(NULL)) is NULL, so every
+                    # derived column is NULL (x div NULL = NULL)
+                    n_words_c.append(None)
+                    dup_w.append(None)
+                    top2_c.append(None)
+                    dup5_c.append(None)
+                    continue
                 words = text.split(" ")
                 n = len(words)
                 nc = len(text)
@@ -301,8 +309,9 @@ def repetition_signals(documents: DataFrame) -> DataFrame:
                     dup5 = sum(cnt * len(g) for g, cnt in c5.items() if cnt > 1)
                 n_words_c.append(n)
                 dup_w.append((10000 * (n - nd)) // n)
-                top2_c.append((10000 * top2) // nc)
-                dup5_c.append((10000 * dup5) // nc)
+                # empty text: Spark `x div 0` is NULL, never a crash
+                top2_c.append((10000 * top2) // nc if nc else None)
+                dup5_c.append((10000 * dup5) // nc if nc else None)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
@@ -398,8 +407,17 @@ def _repetition_signals_declarative(documents: DataFrame) -> DataFrame:
             "n_words",
             # bigint literal: int32 would overflow past ~214k repeated words
             F.expr("(10000L * (n_words - n_distinct)) div n_words").alias("dup_word_bp"),
-            F.expr("(10000 * coalesce(top2_chars, 0)) div n_chars_m").alias("top_2gram_bp"),
-            F.expr("(10000 * coalesce(dup5_chars, 0)) div n_chars_m").alias("dup_5gram_bp"),
+            # empty text: DuckDB `x // 0` is NULL, but ANSI Spark `div 0`
+            # throws — the CASE guard expresses the oracle's semantics
+            # (the mapInPandas fold emits None for the same rows)
+            F.expr(
+                "CASE WHEN n_chars_m = 0 THEN CAST(NULL AS BIGINT)"
+                " ELSE (10000 * coalesce(top2_chars, 0)) div n_chars_m END"
+            ).alias("top_2gram_bp"),
+            F.expr(
+                "CASE WHEN n_chars_m = 0 THEN CAST(NULL AS BIGINT)"
+                " ELSE (10000 * coalesce(dup5_chars, 0)) div n_chars_m END"
+            ).alias("dup_5gram_bp"),
         )
         .orderBy("doc_id")
     )

@@ -594,6 +594,8 @@ def test_repetition_signals_matches_declarative_twin(spark):
             (3, "x x x x x x x x"),  # maximal repetition, dup 5-grams
             (4, "é ü é ü é"),        # non-ASCII tie-break path
             (5, "a  b"),             # empty token from adjacent separators
+            (6, ""),                 # empty text: div-by-0 → NULL bp columns
+            (7, None),               # NULL text: all-NULL row, no crash
         ],
         "doc_id long, text string",
     )
