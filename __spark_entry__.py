@@ -220,6 +220,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_sequences": lambda spark, sf: TS.pack_sequences(
             _docs(spark, sf)
         ),
+        "dedup_incremental": lambda spark, sf: D.incremental_new_docs(
+            _docs(spark, sf)
+        ),
     }
 
 
@@ -235,6 +238,7 @@ SELECT * FROM (VALUES
 ORDER BY status
 """,
         "corpus_pack_sequences": TS.pack_sequences_oracle_sql(),
+        "dedup_incremental": D.incremental_new_docs_oracle_sql(),
     }
 
 

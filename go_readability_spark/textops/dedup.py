@@ -306,13 +306,11 @@ FROM fp GROUP BY source ORDER BY source
 """
 
 
-def lsh_candidate_pairs(documents: DataFrame) -> DataFrame:
-    """LSH band-bucket candidate pairs: docs sharing ≥1 band signature.
-
-    Bands are md5 over ``rows_per_band`` consecutive minhash rows; the
-    self-join key (band_idx, band_hash) spreads uniformly — the classic
-    way to keep near-dup mining shuffle-bound instead of O(n²).
-    """
+def _band_stack(documents: DataFrame) -> DataFrame:
+    """MinHash band signatures, one row per (doc, band): columns
+    ``doc_id, band_idx, band_hash``.  Bands are md5 over ``rows_per_band``
+    consecutive minhash rows — the shared substrate of the self-join pair
+    miner and the incremental snapshot filter."""
     rows_per_band = MINHASH_N // LSH_BANDS
     sig = minhash_signatures(documents)
     band_cols = []
@@ -320,16 +318,24 @@ def lsh_candidate_pairs(documents: DataFrame) -> DataFrame:
         parts = ", ".join(f"mh{b * rows_per_band + j}" for j in range(rows_per_band))
         band_cols.append(f"md5(concat_ws('|', {parts})) AS band{b}")
     banded = sig.selectExpr("doc_id", *band_cols)
-    stacked = banded.selectExpr(
+    return banded.selectExpr(
         "doc_id",
         "stack({n}, {args}) AS (band_idx, band_hash)".format(
             n=LSH_BANDS,
             args=", ".join(f"{b}, band{b}" for b in range(LSH_BANDS)),
         ),
     )
+
+
+def lsh_candidate_pairs(documents: DataFrame) -> DataFrame:
+    """LSH band-bucket candidate pairs: docs sharing ≥1 band signature.
+
+    The self-join key (band_idx, band_hash) spreads uniformly — the
+    classic way to keep near-dup mining shuffle-bound instead of O(n²).
+    """
     # persist: the self-join otherwise recomputes the md5 signature subtree
     # on both sides (2× the dominant map cost at scale)
-    stacked = scratch_persist(stacked)
+    stacked = scratch_persist(_band_stack(documents))
     a, b = stacked.alias("a"), stacked.alias("b")
     return (
         a.join(
@@ -347,10 +353,9 @@ def lsh_candidate_pairs(documents: DataFrame) -> DataFrame:
     )
 
 
-def _lsh_pairs_cte_body() -> str:
-    """DuckDB CTE list ``sh, sig, banded, lsh_pairs`` reproducing
-    ``lsh_candidate_pairs`` — shared by the pair oracle and the
-    connected-components oracle."""
+def _banded_cte_body() -> str:
+    """DuckDB CTE list ``sh, sig, banded`` reproducing ``_band_stack`` —
+    shared by the pair oracles and the incremental-snapshot oracle."""
     rows_per_band = MINHASH_N // LSH_BANDS
     mh = ",\n         ".join(
         f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS mh{i}"
@@ -372,7 +377,14 @@ def _lsh_pairs_cte_body() -> str:
   FROM sh
 ), banded AS (
   {union}
-), lsh_pairs AS (
+)"""
+
+
+def _lsh_pairs_cte_body() -> str:
+    """DuckDB CTE list ``sh, sig, banded, lsh_pairs`` reproducing
+    ``lsh_candidate_pairs`` — shared by the pair oracle and the
+    connected-components oracle."""
+    return f"""{_banded_cte_body()}, lsh_pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM banded a JOIN banded b
     ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
@@ -383,6 +395,87 @@ def lsh_candidate_pairs_oracle_sql() -> str:
     return f"""
 WITH {_lsh_pairs_cte_body()}
 SELECT doc_a, doc_b FROM lsh_pairs ORDER BY doc_a, doc_b
+"""
+
+
+# Snapshot split for the incremental filter: doc_ids ≤ floor(0.8·max) play
+# the existing corpus, the top 20% play today's crawl batch.  At real scale
+# the boundary is the previous snapshot's high-water mark, not a fraction.
+OLD_SNAPSHOT_FRAC = 0.8
+
+
+def incremental_new_docs(documents: DataFrame) -> DataFrame:
+    """Incremental cross-snapshot near-dedup: which NEW-batch docs are
+    near-dups of the EXISTING corpus?  (ours; N/A in the reference — the
+    production shape for a daily crawl feeding an already-deduped corpus.)
+
+    Per new doc: ``n_dup_sources`` = distinct existing docs sharing ≥1
+    MinHash LSH band, ``keep`` = no such source.  Docs too short to shingle
+    never band-match and are kept.
+
+    100 TB shape: new-batch bands join existing-corpus bands on the
+    high-cardinality (band_idx, band_hash) key — one shuffle, never
+    new×corpus pairs outside shared buckets.  A daily batch is tiny next
+    to the corpus, so AQE broadcasts the new side under the threshold; at
+    real scale the existing side's bands are a stored table (written at
+    ingest), not recomputed — here both derive from one scan + split.
+    """
+    split = documents.agg(
+        F.floor(F.max("doc_id") * F.lit(OLD_SNAPSHOT_FRAC)).alias("split_id")
+    )
+    stacked = scratch_persist(
+        _band_stack(documents).crossJoin(F.broadcast(split))
+    )
+    new_b = stacked.filter(F.col("doc_id") > F.col("split_id"))
+    old_b = stacked.filter(F.col("doc_id") <= F.col("split_id"))
+    hits = (
+        new_b.alias("n")
+        .join(
+            old_b.alias("o"),
+            (F.col("n.band_idx") == F.col("o.band_idx"))
+            & (F.col("n.band_hash") == F.col("o.band_hash")),
+        )
+        .groupBy(F.col("n.doc_id").alias("doc_id"))
+        .agg(F.countDistinct("o.doc_id").alias("n_dup_sources"))
+    )
+    new_docs = (
+        documents.select("doc_id")
+        .crossJoin(F.broadcast(split))
+        .filter(F.col("doc_id") > F.col("split_id"))
+        .select("doc_id")
+    )
+    return (
+        new_docs.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_dup_sources", F.lit(0)).alias("n_dup_sources"),
+            (F.coalesce("n_dup_sources", F.lit(0)) == 0).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def incremental_new_docs_oracle_sql() -> str:
+    return f"""
+WITH {_banded_cte_body()},
+split AS (
+  SELECT CAST(FLOOR(MAX(doc_id) * {OLD_SNAPSHOT_FRAC}) AS BIGINT) AS split_id
+  FROM documents
+), hits AS (
+  SELECT n.doc_id, COUNT(DISTINCT o.doc_id) AS n_dup_sources
+  FROM banded n
+  JOIN banded o
+    ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
+  JOIN split s ON n.doc_id > s.split_id AND o.doc_id <= s.split_id
+  GROUP BY n.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_dup_sources, 0) AS BIGINT) AS n_dup_sources,
+       COALESCE(h.n_dup_sources, 0) = 0 AS keep
+FROM documents d
+JOIN split s ON d.doc_id > s.split_id
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+ORDER BY d.doc_id
 """
 
 

@@ -35,6 +35,8 @@ CROSS_OK = {
     "text_top_terms",
     # 1-row dropped-count digest crossJoined onto the 1-row extraction digest
     "dedup_then_extract",
+    # 1-row snapshot-boundary broadcast attaching split_id to every band row
+    "dedup_incremental",
 }
 
 # Iterative queries run jobs during construction (connected components);
