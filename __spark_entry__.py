@@ -18,6 +18,7 @@ from go_readability_spark.plans import relational as R
 from go_readability_spark.textops import dedup as D
 from go_readability_spark.textops import similarity as S
 from go_readability_spark.textops import textstats as TS
+from go_readability_spark.textops import domains as DOM
 from go_readability_spark.textops import pii as P
 from go_readability_spark.textops import urls as U
 
@@ -223,6 +224,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": lambda spark, sf: D.incremental_new_docs(
             _docs(spark, sf)
         ),
+        "corpus_domain_caps": lambda spark, sf: DOM.domain_caps(_docs(spark, sf)),
+        "corpus_quality_sample": lambda spark, sf: DOM.quality_weighted_sample(
+            _docs(spark, sf)
+        ),
     }
 
 
@@ -239,6 +244,8 @@ ORDER BY status
 """,
         "corpus_pack_sequences": TS.pack_sequences_oracle_sql(),
         "dedup_incremental": D.incremental_new_docs_oracle_sql(),
+        "corpus_domain_caps": DOM.domain_caps_oracle_sql(),
+        "corpus_quality_sample": DOM.quality_weighted_sample_oracle_sql(),
     }
 
 

@@ -1,0 +1,160 @@
+"""Host-level corpus shaping: per-host contribution caps and
+quality-weighted deterministic sampling.
+
+Two stages every web-scale pretraining pipeline runs between dedup and
+mixture packing (no reference equivalent — the reference,
+readability.go:265-403, only resolves URIs inside one document; shaping
+the corpus by fetch host is an engine capability):
+
+* **domain_caps** — cap how many documents any single host contributes
+  (RefinedWeb / FineWeb-style "site caps"): without it, a handful of
+  mega-hosts (forums, wikis, mirrors) dominate the token mixture.  The
+  keeper rule is highest quality first (the shared
+  ``textstats.quality_scores`` composite), ties by least doc_id.
+* **quality_weighted_sample** — reproducible sampling where a document's
+  keep probability is proportional to its quality score (the
+  upsample-good/downsample-bad stage).  No ``rand()`` anywhere: the
+  uniform draw is an md5 bucket of the doc_id, so the sample is
+  identical per engine, per partitioning, and per rerun — the same
+  determinism recipe as ``textstats.stratified_sample``.
+
+Scale shapes (100 TB): ``domain_caps`` filters on ``row_number() <= K``
+over the host window, which Spark plans as WindowGroupLimit — each map
+task pre-prunes its partition to K rows per host BEFORE the exchange, so
+a 10^8-page mega-host ships ~K rows per upstream partition instead of
+10^8 (machine-checked in tests/test_plans.py).  ``quality_weighted_sample``
+is a pure map-side filter plus one low-cardinality rollup.  Host
+extraction here parses the synthesized fetch URL; a production run swaps
+in a public-suffix-list lookup (a broadcast map) to group by registrable
+domain instead of raw host — same plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .textstats import EN_STOPWORDS, _STOP_SQL
+from .urls import _URL_RX, _synth_url_sql
+
+# Keep at most this many documents per host (test-scale constant; a real
+# run sizes it from the target mixture, e.g. FineWeb's per-domain caps).
+DOMAIN_CAP = 3
+
+# quality_hbp ranges over [0, 20000] (see textstats.quality_scores), so a
+# draw uniform over [0, QW_SCALE) kept iff draw < quality_hbp keeps a
+# document with probability quality_hbp / 20000 — linear in quality.
+QW_SCALE = 20000
+
+
+def _quality_hbp_sql(engine: str) -> str:
+    """The ``quality_scores`` composite as ONE scalar expression over a
+    ``text`` column, rendered per engine.  Kept in lockstep with
+    ``textstats.quality_scores`` / ``_quality_cte_body`` (equality is
+    pinned by tests/test_textops.py::test_quality_hbp_sql_lockstep)."""
+    if engine == "spark":
+        w = "split(text, ' ')"
+        stops = f"array{tuple(EN_STOPWORDS)}"
+        stop_bp = (
+            f"cast(round(10000.0 * size(filter({w}, t -> array_contains({stops}, t)))"
+            f" / size({w})) as bigint)"
+        )
+        return f"cast(least(size({w}) * 100, 10000) as bigint) + {stop_bp}"
+    w = "string_split(text, ' ')"
+    stop_bp = (
+        f"CAST(round(10000.0 * len(list_filter({w}, t -> list_contains({_STOP_SQL}, t)))"
+        f" / len({w})) AS BIGINT)"
+    )
+    return f"CAST(least(len({w}) * 100, 10000) AS BIGINT) + {stop_bp}"
+
+
+def _host_sql(engine: str) -> str:
+    """Lowercased fetch-URL host for each document row, per engine
+    (the synthetic URL derivation shared with textops.urls)."""
+    return f"lower(regexp_extract(({_synth_url_sql(engine)}), '{_URL_RX}', 2))"
+
+
+def domain_caps(documents: DataFrame, cap: int = DOMAIN_CAP) -> DataFrame:
+    """Per-host contribution cap: the ``cap`` highest-quality documents
+    of every host (ties by least doc_id), with their within-host rank —
+    the rows a capped corpus RETAINS.
+
+    The rank filter is ``row_number() <= cap``, which Catalyst rewrites
+    to WindowGroupLimit: every upstream partition is pruned to at most
+    ``cap`` rows per host map-side, so the host exchange moves O(hosts ×
+    cap × partitions) rows, never the corpus — the shape that survives a
+    mega-host at 100 TB."""
+    per_doc = documents.selectExpr(
+        "doc_id",
+        f"({_host_sql('spark')}) AS host",
+        f"({_quality_hbp_sql('spark')}) AS quality_hbp",
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("quality_hbp").desc(), F.col("doc_id").asc()
+    )
+    return (
+        per_doc.withColumn("host_rank", F.row_number().over(w))
+        .filter(F.col("host_rank") <= cap)
+        .orderBy("host", "host_rank")
+    )
+
+
+def domain_caps_oracle_sql(cap: int = DOMAIN_CAP) -> str:
+    return f"""
+WITH per_doc AS (
+  SELECT doc_id,
+         ({_host_sql('duckdb')}) AS host,
+         ({_quality_hbp_sql('duckdb')}) AS quality_hbp
+  FROM documents
+), ranked AS (
+  SELECT doc_id, host, quality_hbp,
+         row_number() OVER (PARTITION BY host ORDER BY quality_hbp DESC, doc_id)
+           AS host_rank
+  FROM per_doc
+)
+SELECT doc_id, host, quality_hbp, CAST(host_rank AS INT) AS host_rank
+FROM ranked WHERE host_rank <= {cap}
+ORDER BY host, host_rank
+"""
+
+
+def quality_weighted_sample(documents: DataFrame) -> DataFrame:
+    """Quality-weighted deterministic sample rollup per source: each doc
+    is kept with probability ``quality_hbp / {QW_SCALE}`` via an md5
+    uniform draw on its doc_id — reproducible across engines, reruns,
+    and partitionings (no ``rand()``).  Pure map-side filter + one
+    low-cardinality hash aggregate; nothing corpus-sized shuffles."""
+    draw = F.expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)"
+    ) % QW_SCALE
+    flagged = documents.select(
+        "source",
+        F.size(F.split(F.col("text"), " ")).alias("n_words"),
+        (draw < F.expr(f"({_quality_hbp_sql('spark')})")).alias("keep"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sum(
+                F.when(F.col("keep"), F.col("n_words")).otherwise(F.lit(0)).cast("long")
+            ).alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def quality_weighted_sample_oracle_sql() -> str:
+    return f"""
+WITH flagged AS (
+  SELECT source,
+         len(string_split(text, ' ')) AS n_words,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % {QW_SCALE})
+           < ({_quality_hbp_sql('duckdb')}) AS keep
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN keep THEN n_words ELSE 0 END) AS BIGINT) AS kept_tokens
+FROM flagged GROUP BY source ORDER BY source
+"""

@@ -1254,3 +1254,36 @@ def test_funnel_reports_fully_deduped_source_with_zeros(spark):
     assert (rows["srcB"].n_docs, rows["srcB"].n_after_dedup) == (2, 0)
     assert rows["srcB"].n_kept == 0 and rows["srcB"].kept_tokens == 0
     assert rows["srcA"].n_after_dedup == 1
+
+
+def test_quality_hbp_sql_lockstep(spark):
+    """domains._quality_hbp_sql must stay in lockstep with the staged
+    textstats.quality_scores composite (docstring contract): equal on
+    every document of the test corpus."""
+    from go_readability_spark.textops.domains import _quality_hbp_sql
+    from go_readability_spark.textops.textstats import quality_scores
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    inline = docs.selectExpr(
+        "doc_id", f"({_quality_hbp_sql('spark')}) AS q_inline"
+    )
+    staged = quality_scores(docs).select("doc_id", "quality_hbp")
+    diff = (
+        inline.join(staged, "doc_id")
+        .filter("q_inline <> quality_hbp")
+        .count()
+    )
+    assert diff == 0
+
+
+def test_domain_caps_plans_window_group_limit(spark):
+    """The rank<=cap filter must plan as WindowGroupLimit with a map-side
+    partial BEFORE the host exchange (the mega-host scale guarantee the
+    module docstring claims) — two WindowGroupLimit nodes, partial first."""
+    from go_readability_spark.textops.domains import domain_caps
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    plan = domain_caps(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") == 2
+    partial = plan.index("WindowGroupLimit", plan.index("WindowGroupLimit") + 1)
+    assert "Exchange" in plan[:partial], plan
