@@ -225,6 +225,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf)
         ),
         "corpus_domain_caps": lambda spark, sf: DOM.domain_caps(_docs(spark, sf)),
+        "corpus_host_boilerplate": lambda spark, sf: DOM.host_boilerplate_removal(
+            _docs(spark, sf)
+        ),
         "corpus_quality_sample": lambda spark, sf: DOM.quality_weighted_sample(
             _docs(spark, sf)
         ),
@@ -245,6 +248,7 @@ ORDER BY status
         "corpus_pack_sequences": TS.pack_sequences_oracle_sql(),
         "dedup_incremental": D.incremental_new_docs_oracle_sql(),
         "corpus_domain_caps": DOM.domain_caps_oracle_sql(),
+        "corpus_host_boilerplate": DOM.host_boilerplate_removal_oracle_sql(),
         "corpus_quality_sample": DOM.quality_weighted_sample_oracle_sql(),
     }
 

@@ -117,6 +117,150 @@ ORDER BY host, host_rank
 """
 
 
+# Boilerplate detection constants (test-scale: the synthetic corpus is
+# short random word soup, so 2-word blocks are the smallest unit that
+# actually recurs across a host's documents — measured df distribution at
+# sf0.01: max per-host df 6/25, so ≥3 docs AND ≥15% flags the recurring
+# tail without degenerating to the whole vocabulary; a production run
+# uses paragraph-sized blocks with higher ratios, e.g. ≥30%).  A block is
+# host boilerplate iff it appears in ≥ BOILER_MIN_DOCS distinct documents
+# of the host AND in ≥ BOILER_DF_BP basis points of them.
+BOILER_W = 2
+BOILER_MIN_DOCS = 3
+BOILER_DF_BP = 1500
+
+
+def host_boilerplate_removal(
+    documents: DataFrame, block_words: int = BOILER_W
+) -> DataFrame:
+    """Per-host boilerplate REMOVAL (CCNet/Trafilatura-style template
+    cleanup): blocks of ``block_words`` words that recur across a
+    threshold fraction of a host's documents (≥{BOILER_DF_BP} bp in
+    ≥{BOILER_MIN_DOCS} docs) are navigation / header / footer templates,
+    not content — rewrite every document of the host with those blocks
+    deleted.
+
+    Differs from ``dedup.block_removal`` (global exact-duplicate
+    OCCURRENCE count, Lee et al. ExactSubstr) by scoping detection to the
+    host and thresholding on the host's document-frequency RATIO — the
+    signature of a site template is "most pages of THIS site", not
+    "twice anywhere in the corpus".
+
+    Scale shape: posexplode to fixed-width (host, block-md5) keys; the
+    document-frequency agg is one map-side-partial hash agg on a
+    high-cardinality key; host doc totals come from the base frame (one
+    tiny agg); flagged boilerplate is a per-host handful, so the drop
+    join is an equi-join on (host, h) whose build side AQE keeps small;
+    reassembly state is bounded by document length (same bound as
+    block_removal).  The cleaned text is emitted as md5 (``clean_fp``)
+    to stay fixed-width for the value-hash gate.
+    """
+    from ._persist import scratch_persist
+
+    b = block_words
+    posts = (
+        documents.selectExpr(
+            "doc_id", f"({_host_sql('spark')}) AS host", "split(text, ' ') AS w"
+        )
+        .select(
+            "doc_id",
+            "host",
+            F.expr(
+                f"transform(sequence(0, (size(w) + {b - 1}) div {b} - 1),"
+                f" i -> concat_ws(' ', slice(w, i * {b} + 1, {b})))"
+            ).alias("blocks"),
+        )
+        .select("doc_id", "host", F.posexplode("blocks").alias("idx", "blk"))
+        .withColumn("h", F.md5("blk"))
+    )
+    posts = scratch_persist(posts)  # consumed 3x: df counts, totals, survivors
+    host_docs = (
+        documents.selectExpr(f"({_host_sql('spark')}) AS host")
+        .groupBy("host")
+        .agg(F.count("*").alias("n_host_docs"))
+    )
+    df_counts = posts.groupBy("host", "h").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    boiler = (
+        df_counts.join(host_docs, "host")
+        .filter(
+            (F.col("df") >= BOILER_MIN_DOCS)
+            & (F.col("df") * 10000 >= F.col("n_host_docs") * BOILER_DF_BP)
+        )
+        .select("host", "h")
+    )
+    totals = posts.groupBy("doc_id", "host").agg(F.count("*").alias("n_blocks"))
+    kept = (
+        posts.join(boiler, ["host", "h"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_sort(F.collect_list(F.struct("idx", "blk"))).alias("parts"),
+        )
+        .select(
+            "doc_id",
+            "n_kept",
+            F.expr("concat_ws(' ', transform(parts, x -> x.blk))").alias("clean_text"),
+        )
+    )
+    return (
+        totals.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "host",
+            F.col("n_blocks").cast("long").alias("n_blocks"),
+            (F.col("n_blocks") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed_blocks"),
+            F.md5(F.coalesce("clean_text", F.lit(""))).alias("clean_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def host_boilerplate_removal_oracle_sql(block_words: int = BOILER_W) -> str:
+    b = block_words
+    return f"""
+WITH base AS (
+  SELECT doc_id, ({_host_sql('duckdb')}) AS host, string_split(text, ' ') AS w
+  FROM documents
+), idxs AS (
+  SELECT doc_id, host, w, unnest(range(0, (len(w) + {b - 1}) // {b})) AS idx
+  FROM base
+), hashed AS (
+  SELECT doc_id, host, idx,
+         array_to_string(w[idx * {b} + 1 : idx * {b} + {b}], ' ') AS blk,
+         md5(array_to_string(w[idx * {b} + 1 : idx * {b} + {b}], ' ')) AS h
+  FROM idxs
+), host_docs AS (
+  SELECT host, count(*) AS n_host_docs FROM base GROUP BY host
+), boiler AS (
+  SELECT d.host, d.h
+  FROM (SELECT host, h, count(DISTINCT doc_id) AS df
+        FROM hashed GROUP BY host, h) d
+  JOIN host_docs hd USING (host)
+  WHERE d.df >= {BOILER_MIN_DOCS}
+    AND d.df * 10000 >= hd.n_host_docs * {BOILER_DF_BP}
+), totals AS (
+  SELECT doc_id, host, count(*) AS n_blocks FROM hashed GROUP BY doc_id, host
+), kept AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(blk, ' ' ORDER BY idx) AS clean_text
+  FROM hashed a
+  WHERE NOT EXISTS (SELECT 1 FROM boiler x
+                    WHERE x.host = a.host AND x.h = a.h)
+  GROUP BY doc_id
+)
+SELECT t.doc_id, t.host,
+       CAST(t.n_blocks AS BIGINT) AS n_blocks,
+       CAST(t.n_blocks - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed_blocks,
+       md5(coalesce(k.clean_text, '')) AS clean_fp
+FROM totals t LEFT JOIN kept k USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
 def quality_weighted_sample(documents: DataFrame) -> DataFrame:
     """Quality-weighted deterministic sample rollup per source: each doc
     is kept with probability ``quality_hbp / {QW_SCALE}`` via an md5

@@ -1287,3 +1287,34 @@ def test_domain_caps_plans_window_group_limit(spark):
     assert plan.count("WindowGroupLimit") == 2
     partial = plan.index("WindowGroupLimit", plan.index("WindowGroupLimit") + 1)
     assert "Exchange" in plan[:partial], plan
+
+
+def test_host_boilerplate_hand_case(spark):
+    """A 2-word template recurring in all 4 docs of host A is removed
+    from each; the same template in only 2 of host B's 4 docs is below
+    BOILER_MIN_DOCS and survives — detection is host-scoped df-ratio,
+    not global occurrence count."""
+    import hashlib
+
+    from go_readability_spark.textops.domains import host_boilerplate_removal
+
+    docs = spark.createDataFrame(
+        [
+            (1, "ha", "subscribe now alpha one"),
+            (2, "ha", "subscribe now beta two"),
+            (3, "ha", "subscribe now gamma three"),
+            (4, "ha", "subscribe now delta four"),
+            (5, "hb", "subscribe now eps five"),
+            (6, "hb", "subscribe now zeta six"),
+            (7, "hb", "body seven other words"),
+            (8, "hb", "body eight more words"),
+        ],
+        ["doc_id", "source", "text"],
+    )
+    rows = {r.doc_id: r for r in host_boilerplate_removal(docs).collect()}
+    assert rows[1].host == "ha.example.com"
+    for d, body in ((1, "alpha one"), (2, "beta two"), (3, "gamma three"), (4, "delta four")):
+        assert (rows[d].n_blocks, rows[d].n_removed_blocks) == (2, 1)
+        assert rows[d].clean_fp == hashlib.md5(body.encode()).hexdigest()
+    for d in (5, 6, 7, 8):
+        assert rows[d].n_removed_blocks == 0
