@@ -231,6 +231,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_quality_sample": lambda spark, sf: DOM.quality_weighted_sample(
             _docs(spark, sf)
         ),
+        "corpus_length_histogram": lambda spark, sf: TS.length_histogram(
+            _docs(spark, sf)
+        ),
+        "text_unigram_rank": lambda spark, sf: TS.unigram_rank_score(
+            _docs(spark, sf)
+        ),
     }
 
 
@@ -250,6 +256,8 @@ ORDER BY status
         "corpus_domain_caps": DOM.domain_caps_oracle_sql(),
         "corpus_host_boilerplate": DOM.host_boilerplate_removal_oracle_sql(),
         "corpus_quality_sample": DOM.quality_weighted_sample_oracle_sql(),
+        "corpus_length_histogram": TS.length_histogram_oracle_sql(),
+        "text_unigram_rank": TS.unigram_rank_score_oracle_sql(),
     }
 
 

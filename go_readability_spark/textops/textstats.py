@@ -967,3 +967,139 @@ SELECT doc_id, source, n_tokens, tok_start,
 FROM laid
 ORDER BY doc_id
 """
+
+
+# Length-histogram bucket width in words (test-scale; a production run
+# uses log-spaced buckets over the same floor-division shape).
+HIST_BUCKET_W = 25
+
+
+def length_histogram(documents: DataFrame) -> DataFrame:
+    """Per-source document-length histogram: doc counts and token mass per
+    ``HIST_BUCKET_W``-word bucket — the mixture diagnostic a pipeline
+    reads before setting packing/truncation lengths (too-short and
+    too-long tails per source).  Integer floor-division bucketing, one
+    low-cardinality hash aggregate over (source, bucket); nothing
+    corpus-sized shuffles.  No reference equivalent (corpus tier)."""
+    b = HIST_BUCKET_W
+    binned = documents.select(
+        "source", F.size(F.split(F.col("text"), " ")).alias("n_words")
+    ).select(
+        "source",
+        "n_words",
+        F.expr(f"CAST(n_words AS BIGINT) div {b}").alias("bucket"),
+    )
+    return (
+        binned.groupBy("source", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_words").cast("long")).alias("total_words"),
+        )
+        .select(
+            "source",
+            (F.col("bucket") * b).alias("bucket_lo"),
+            ((F.col("bucket") + 1) * b - 1).alias("bucket_hi"),
+            "n_docs",
+            "total_words",
+        )
+        .orderBy("source", "bucket_lo")
+    )
+
+
+def length_histogram_oracle_sql() -> str:
+    b = HIST_BUCKET_W
+    return f"""
+WITH binned AS (
+  SELECT source,
+         len(string_split(text, ' ')) AS n_words,
+         CAST(len(string_split(text, ' ')) AS BIGINT) // {b} AS bucket
+  FROM documents
+)
+SELECT source,
+       bucket * {b} AS bucket_lo,
+       (bucket + 1) * {b} - 1 AS bucket_hi,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS total_words
+FROM binned GROUP BY source, bucket ORDER BY source, bucket_lo
+"""
+
+
+# Unigram-rank vocabulary size (test-scale: the synthetic corpus has ~30
+# distinct words, so V=20 leaves a real out-of-vocabulary tail to
+# exercise the OOV arm; production sizes V to the broadcast budget).
+LM_VOCAB_V = 20
+
+
+def unigram_rank_score(documents: DataFrame) -> DataFrame:
+    """Corpus-informed per-document quality score: the mean corpus
+    frequency RANK of a document's tokens (×10000, integer floor
+    division) plus its out-of-vocabulary token count — an integer-exact
+    stand-in for the CCNet/KenLM perplexity gate (common-word-heavy
+    prose scores low, rare-token noise scores high) with no floats, so
+    both engines agree bit-for-bit where a log-prob model would drift.
+
+    Scale shape: two passes — (1) a unigram frequency aggregate pruned to
+    the top-``LM_VOCAB_V`` ranks (deterministic ties: freq desc, word
+    asc), which is small by construction and **broadcast**; (2) a
+    map-side explode + broadcast left join + per-doc aggregate.  The
+    corpus never shuffles on the word key in the scoring pass; OOV
+    tokens take rank V+1.  No reference equivalent (corpus tier)."""
+    v = LM_VOCAB_V
+    toks = documents.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    # top-V selection via orderBy+limit (TakeOrderedAndProject: each task
+    # keeps its local top-V, the driver merges V-row heaps) — the ranking
+    # window then runs over only V rows, so the unpartitioned window never
+    # sees the full vocabulary (which is 10^8+ words at real scale)
+    top = (
+        toks.groupBy("word")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("word").asc())
+        .limit(v)
+    )
+    vocab = top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("word").asc())),
+    ).select("word", "rank")
+    scored = toks.join(F.broadcast(vocab), "word", "left").select(
+        "doc_id",
+        F.coalesce(F.col("rank"), F.lit(v + 1)).cast("long").alias("r"),
+        F.col("rank").isNull().cast("long").alias("oov"),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("oov").alias("oov_words"),
+            F.expr("CAST(sum(r) * 10000 AS BIGINT) div count(*)").alias(
+                "mean_rank_x10k"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def unigram_rank_score_oracle_sql() -> str:
+    v = LM_VOCAB_V
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), freq AS (
+  SELECT word, count(*) AS c FROM toks GROUP BY word
+), vocab AS (
+  SELECT word, rank FROM (
+    SELECT word, row_number() OVER (ORDER BY c DESC, word) AS rank FROM freq
+  ) WHERE rank <= {v}
+), scored AS (
+  SELECT t.doc_id,
+         CAST(coalesce(x.rank, {v + 1}) AS BIGINT) AS r,
+         CASE WHEN x.rank IS NULL THEN 1 ELSE 0 END AS oov
+  FROM toks t LEFT JOIN vocab x USING (word)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(oov) AS BIGINT) AS oov_words,
+       CAST((sum(r) * 10000) // count(*) AS BIGINT) AS mean_rank_x10k
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
