@@ -237,6 +237,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_rank": lambda spark, sf: TS.unigram_rank_score(
             _docs(spark, sf)
         ),
+        "corpus_shaping_funnel": lambda spark, sf: DOM.corpus_shaping_funnel(
+            _docs(spark, sf)
+        ),
     }
 
 
@@ -258,6 +261,7 @@ ORDER BY status
         "corpus_quality_sample": DOM.quality_weighted_sample_oracle_sql(),
         "corpus_length_histogram": TS.length_histogram_oracle_sql(),
         "text_unigram_rank": TS.unigram_rank_score_oracle_sql(),
+        "corpus_shaping_funnel": DOM.corpus_shaping_funnel_oracle_sql(),
     }
 
 

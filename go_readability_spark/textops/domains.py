@@ -46,25 +46,39 @@ DOMAIN_CAP = 3
 QW_SCALE = 20000
 
 
-def _quality_hbp_sql(engine: str) -> str:
-    """The ``quality_scores`` composite as ONE scalar expression over a
-    ``text`` column, rendered per engine.  Kept in lockstep with
-    ``textstats.quality_scores`` / ``_quality_cte_body`` (equality is
-    pinned by tests/test_textops.py::test_quality_hbp_sql_lockstep)."""
+def _stop_bp_sql(engine: str, col: str = "text") -> str:
+    """Stopword ratio of the ``col`` text column in integer basis points,
+    rendered per engine (the quality_scores ``stopword_bp`` feature)."""
     if engine == "spark":
-        w = "split(text, ' ')"
+        w = f"split({col}, ' ')"
         stops = f"array{tuple(EN_STOPWORDS)}"
-        stop_bp = (
+        return (
             f"cast(round(10000.0 * size(filter({w}, t -> array_contains({stops}, t)))"
             f" / size({w})) as bigint)"
         )
-        return f"cast(least(size({w}) * 100, 10000) as bigint) + {stop_bp}"
-    w = "string_split(text, ' ')"
-    stop_bp = (
+    w = f"string_split({col}, ' ')"
+    return (
         f"CAST(round(10000.0 * len(list_filter({w}, t -> list_contains({_STOP_SQL}, t)))"
         f" / len({w})) AS BIGINT)"
     )
-    return f"CAST(least(len({w}) * 100, 10000) AS BIGINT) + {stop_bp}"
+
+
+def _quality_hbp_sql(engine: str, col: str = "text") -> str:
+    """The ``quality_scores`` composite as ONE scalar expression over the
+    ``col`` text column, rendered per engine.  Kept in lockstep with
+    ``textstats.quality_scores`` / ``_quality_cte_body`` (equality is
+    pinned by tests/test_textops.py::test_quality_hbp_sql_lockstep)."""
+    if engine == "spark":
+        w = f"split({col}, ' ')"
+        return (
+            f"cast(least(size({w}) * 100, 10000) as bigint)"
+            f" + {_stop_bp_sql('spark', col)}"
+        )
+    w = f"string_split({col}, ' ')"
+    return (
+        f"CAST(least(len({w}) * 100, 10000) AS BIGINT)"
+        f" + {_stop_bp_sql('duckdb', col)}"
+    )
 
 
 def _host_sql(engine: str) -> str:
@@ -153,24 +167,47 @@ def host_boilerplate_removal(
     join is an equi-join on (host, h) whose build side AQE keeps small;
     reassembly state is bounded by document length (same bound as
     block_removal).  The cleaned text is emitted as md5 (``clean_fp``)
-    to stay fixed-width for the value-hash gate.
+    to stay fixed-width for the value-hash gate; callers wanting the
+    rewritten text itself (``corpus_shaping_funnel``, a clean-corpus
+    sink) use ``host_boilerplate_clean``.
     """
+    return host_boilerplate_clean(documents, block_words).select(
+        "doc_id",
+        "host",
+        "n_blocks",
+        "n_removed_blocks",
+        F.md5("clean_text").alias("clean_fp"),
+    ).orderBy("doc_id")
+
+
+def host_boilerplate_clean(
+    documents: DataFrame, block_words: int = BOILER_W
+) -> DataFrame:
+    """``host_boilerplate_removal`` with the rewritten document text
+    materialized: (doc_id, source, host, n_blocks, n_removed_blocks,
+    clean_text) — the frame a pipeline feeds into downstream gates."""
     from ._persist import scratch_persist
 
     b = block_words
     posts = (
         documents.selectExpr(
-            "doc_id", f"({_host_sql('spark')}) AS host", "split(text, ' ') AS w"
+            "doc_id",
+            "source",
+            f"({_host_sql('spark')}) AS host",
+            "split(text, ' ') AS w",
         )
         .select(
             "doc_id",
+            "source",
             "host",
             F.expr(
                 f"transform(sequence(0, (size(w) + {b - 1}) div {b} - 1),"
                 f" i -> concat_ws(' ', slice(w, i * {b} + 1, {b})))"
             ).alias("blocks"),
         )
-        .select("doc_id", "host", F.posexplode("blocks").alias("idx", "blk"))
+        .select(
+            "doc_id", "source", "host", F.posexplode("blocks").alias("idx", "blk")
+        )
         .withColumn("h", F.md5("blk"))
     )
     posts = scratch_persist(posts)  # consumed 3x: df counts, totals, survivors
@@ -190,7 +227,9 @@ def host_boilerplate_removal(
         )
         .select("host", "h")
     )
-    totals = posts.groupBy("doc_id", "host").agg(F.count("*").alias("n_blocks"))
+    totals = posts.groupBy("doc_id", "source", "host").agg(
+        F.count("*").alias("n_blocks")
+    )
     kept = (
         posts.join(boiler, ["host", "h"], "left_anti")
         .groupBy("doc_id")
@@ -204,32 +243,33 @@ def host_boilerplate_removal(
             F.expr("concat_ws(' ', transform(parts, x -> x.blk))").alias("clean_text"),
         )
     )
-    return (
-        totals.join(kept, "doc_id", "left")
-        .select(
-            "doc_id",
-            "host",
-            F.col("n_blocks").cast("long").alias("n_blocks"),
-            (F.col("n_blocks") - F.coalesce("n_kept", F.lit(0)))
-            .cast("long")
-            .alias("n_removed_blocks"),
-            F.md5(F.coalesce("clean_text", F.lit(""))).alias("clean_fp"),
-        )
-        .orderBy("doc_id")
+    return totals.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        "host",
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        (F.col("n_blocks") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_removed_blocks"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
 
 
-def host_boilerplate_removal_oracle_sql(block_words: int = BOILER_W) -> str:
+def _boiler_clean_cte(block_words: int = BOILER_W) -> str:
+    """DuckDB CTE chunk ending in ``cleaned`` → (doc_id, source, host,
+    n_blocks, n_removed_blocks, clean_text) — host_boilerplate_clean's
+    twin, shared by the removal oracle and the shaping-funnel oracle."""
     b = block_words
-    return f"""
-WITH base AS (
-  SELECT doc_id, ({_host_sql('duckdb')}) AS host, string_split(text, ' ') AS w
+    return f"""base AS (
+  SELECT doc_id, source, ({_host_sql('duckdb')}) AS host,
+         string_split(text, ' ') AS w
   FROM documents
 ), idxs AS (
-  SELECT doc_id, host, w, unnest(range(0, (len(w) + {b - 1}) // {b})) AS idx
+  SELECT doc_id, source, host, w,
+         unnest(range(0, (len(w) + {b - 1}) // {b})) AS idx
   FROM base
 ), hashed AS (
-  SELECT doc_id, host, idx,
+  SELECT doc_id, source, host, idx,
          array_to_string(w[idx * {b} + 1 : idx * {b} + {b}], ' ') AS blk,
          md5(array_to_string(w[idx * {b} + 1 : idx * {b} + {b}], ' ')) AS h
   FROM idxs
@@ -243,21 +283,31 @@ WITH base AS (
   WHERE d.df >= {BOILER_MIN_DOCS}
     AND d.df * 10000 >= hd.n_host_docs * {BOILER_DF_BP}
 ), totals AS (
-  SELECT doc_id, host, count(*) AS n_blocks FROM hashed GROUP BY doc_id, host
-), kept AS (
+  SELECT doc_id, source, host, count(*) AS n_blocks
+  FROM hashed GROUP BY doc_id, source, host
+), bkept AS (
   SELECT doc_id, count(*) AS n_kept,
          string_agg(blk, ' ' ORDER BY idx) AS clean_text
   FROM hashed a
   WHERE NOT EXISTS (SELECT 1 FROM boiler x
                     WHERE x.host = a.host AND x.h = a.h)
   GROUP BY doc_id
-)
-SELECT t.doc_id, t.host,
-       CAST(t.n_blocks AS BIGINT) AS n_blocks,
-       CAST(t.n_blocks - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed_blocks,
-       md5(coalesce(k.clean_text, '')) AS clean_fp
-FROM totals t LEFT JOIN kept k USING (doc_id)
-ORDER BY t.doc_id
+), cleaned AS (
+  SELECT t.doc_id, t.source, t.host,
+         CAST(t.n_blocks AS BIGINT) AS n_blocks,
+         CAST(t.n_blocks - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed_blocks,
+         coalesce(k.clean_text, '') AS clean_text
+  FROM totals t LEFT JOIN bkept k USING (doc_id)
+)"""
+
+
+def host_boilerplate_removal_oracle_sql(block_words: int = BOILER_W) -> str:
+    return f"""
+WITH {_boiler_clean_cte(block_words)}
+SELECT doc_id, host, n_blocks, n_removed_blocks,
+       md5(clean_text) AS clean_fp
+FROM cleaned
+ORDER BY doc_id
 """
 
 
@@ -301,4 +351,96 @@ SELECT source, count(*) AS n_docs,
        CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        CAST(sum(CASE WHEN keep THEN n_words ELSE 0 END) AS BIGINT) AS kept_tokens
 FROM flagged GROUP BY source ORDER BY source
+"""
+
+
+def corpus_shaping_funnel(documents: DataFrame) -> DataFrame:
+    """The corpus-shaping chain END-TO-END, per source: host boilerplate
+    removal → quality gates on the CLEANED text (the Gopher-style funnel
+    thresholds from ``textstats``) → per-host contribution cap on the
+    gate survivors → rollup.  Composes this module's operators in
+    production order — gates must run on post-template text (boilerplate
+    inflates stopword ratios) and caps must run on gate survivors (a
+    capped slot wasted on a failing doc is a retained-token loss.)
+
+    One window ranks cap survivors: partition by host, order by
+    (gate DESC, quality DESC, doc_id) — gated docs sort first, so
+    ``rank <= cap AND gate`` selects the cap winners without a second
+    join or shuffle.  Everything after the boilerplate reassembly is one
+    projection + one window + one low-cardinality rollup.
+    """
+    from ._persist import scratch_persist
+    from .textstats import FUNNEL_MIN_STOPWORD_BP, FUNNEL_MIN_WORDS
+
+    cleaned = host_boilerplate_clean(documents)
+    feats = cleaned.selectExpr(
+        "doc_id",
+        "source",
+        "host",
+        "n_removed_blocks",
+        "cast(size(split(clean_text, ' ')) as bigint) AS n_words",
+        f"({_stop_bp_sql('spark', 'clean_text')}) AS stopword_bp",
+        f"({_quality_hbp_sql('spark', 'clean_text')}) AS quality_hbp",
+    ).withColumn(
+        "gate",
+        (
+            (F.col("n_words") >= FUNNEL_MIN_WORDS)
+            & (F.col("stopword_bp") >= FUNNEL_MIN_STOPWORD_BP)
+        ).cast("long"),
+    )
+    feats = scratch_persist(feats)  # consumed by the window and the rollup
+    w = Window.partitionBy("host").orderBy(
+        F.col("gate").desc(), F.col("quality_hbp").desc(), F.col("doc_id").asc()
+    )
+    ranked = feats.withColumn(
+        "kept",
+        ((F.row_number().over(w) <= DOMAIN_CAP) & (F.col("gate") == 1)).cast("long"),
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_removed_blocks").alias("blocks_removed"),
+            F.sum("gate").alias("n_gated"),
+            F.sum("kept").alias("n_capped"),
+            F.sum(
+                F.when(F.col("kept") == 1, F.col("n_words")).otherwise(F.lit(0))
+            ).alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def corpus_shaping_funnel_oracle_sql() -> str:
+    from .textstats import FUNNEL_MIN_STOPWORD_BP, FUNNEL_MIN_WORDS
+
+    return f"""
+WITH {_boiler_clean_cte()},
+feats AS (
+  SELECT doc_id, source, host, n_removed_blocks,
+         CAST(len(string_split(clean_text, ' ')) AS BIGINT) AS n_words,
+         ({_stop_bp_sql('duckdb', 'clean_text')}) AS stopword_bp,
+         ({_quality_hbp_sql('duckdb', 'clean_text')}) AS quality_hbp
+  FROM cleaned
+), gated AS (
+  SELECT *, CASE WHEN n_words >= {FUNNEL_MIN_WORDS} AND stopword_bp >= {FUNNEL_MIN_STOPWORD_BP}
+                 THEN 1 ELSE 0 END AS gate
+  FROM feats
+), ranked AS (
+  SELECT *,
+         CASE WHEN row_number() OVER (
+                PARTITION BY host
+                ORDER BY gate DESC, quality_hbp DESC, doc_id
+              ) <= {DOMAIN_CAP} AND gate = 1
+              THEN 1 ELSE 0 END AS kept
+  FROM gated
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_removed_blocks) AS BIGINT) AS blocks_removed,
+       CAST(sum(gate) AS BIGINT) AS n_gated,
+       CAST(sum(kept) AS BIGINT) AS n_capped,
+       CAST(sum(CASE WHEN kept = 1 THEN n_words ELSE 0 END) AS BIGINT)
+         AS kept_tokens
+FROM ranked GROUP BY source ORDER BY source
 """
