@@ -240,6 +240,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shaping_funnel": lambda spark, sf: DOM.corpus_shaping_funnel(
             _docs(spark, sf)
         ),
+        "corpus_source_overlap": lambda spark, sf: TS.source_overlap(
+            _docs(spark, sf)
+        ),
     }
 
 
@@ -262,6 +265,7 @@ ORDER BY status
         "corpus_length_histogram": TS.length_histogram_oracle_sql(),
         "text_unigram_rank": TS.unigram_rank_score_oracle_sql(),
         "corpus_shaping_funnel": DOM.corpus_shaping_funnel_oracle_sql(),
+        "corpus_source_overlap": TS.source_overlap_oracle_sql(),
     }
 
 

@@ -1103,3 +1103,82 @@ SELECT doc_id,
        CAST((sum(r) * 10000) // count(*) AS BIGINT) AS mean_rank_x10k
 FROM scored GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# Cross-source overlap: shingles shared by more sources than this are
+# uninformative stop-shingles AND quadratic pair-fanout hazards — drop
+# them before pairing (the same guard Dolma-style overlap audits apply).
+OVERLAP_MAX_DF = 10
+
+
+def source_overlap(documents: DataFrame) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, the
+    number of distinct word-{DECON_K}-shingles both contain — the
+    dataset-overlap audit run before mixing corpora (two "independent"
+    sources sharing many shingles are mirrors or siblings and would
+    double-count tokens in the mixture).
+
+    Scale shape: distinct (source, shingle-hash) is one hash agg on a
+    fixed-width key; shingles present in ≥2 and ≤{OVERLAP_MAX_DF} sources
+    survive (the DF cap bounds the per-shingle pair fan-out, so the
+    self-join can never go quadratic on a ubiquitous shingle); the pair
+    join is an equi-join on the shingle hash; the rollup key is
+    (source, source) — tiny.  No reference equivalent (corpus tier)."""
+    w = documents.select("source", F.split(F.col("text"), " ").alias("w")).filter(
+        F.size("w") >= DECON_K
+    )
+    # CASE WHEN guards the expression itself (CLAUDE.md sequence() trap)
+    sh = w.select(
+        "source",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(w) >= {DECON_K} THEN"
+                f" transform(sequence(0, size(w) - {DECON_K}),"
+                f" i -> md5(concat_ws(' ', slice(w, i + 1, {DECON_K}))))"
+                f" ELSE array() END"
+            )
+        ).alias("h"),
+    ).distinct()
+    dfc = (
+        sh.groupBy("h")
+        .agg(F.count("*").alias("n_src"))
+        .filter((F.col("n_src") >= 2) & (F.col("n_src") <= OVERLAP_MAX_DF))
+        .select("h")
+    )
+    kept = sh.join(dfc, "h")
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count("*").alias("n_shared_shingles"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+def source_overlap_oracle_sql() -> str:
+    return f"""
+WITH w AS (
+  SELECT source, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= {DECON_K}
+), sh AS (
+  SELECT DISTINCT source,
+         unnest(list_transform(range(0, len(w) - {DECON_K} + 1),
+                               i -> md5(array_to_string(w[i + 1 : i + {DECON_K}], ' ')))) AS h
+  FROM w
+), dfc AS (
+  SELECT h FROM sh GROUP BY h
+  HAVING count(*) >= 2 AND count(*) <= {OVERLAP_MAX_DF}
+), kept AS (
+  SELECT source, h FROM sh WHERE h IN (SELECT h FROM dfc)
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared_shingles
+FROM kept a JOIN kept b ON a.h = b.h AND a.source < b.source
+GROUP BY a.source, b.source
+ORDER BY source_a, source_b
+"""
