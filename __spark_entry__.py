@@ -243,6 +243,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_source_overlap": lambda spark, sf: TS.source_overlap(
             _docs(spark, sf)
         ),
+        "corpus_split_leakage_safe": lambda spark, sf: DOM.leakage_safe_split(
+            _docs(spark, sf), groups=_text_groups(spark, sf)
+        ),
     }
 
 
@@ -266,6 +269,7 @@ ORDER BY status
         "text_unigram_rank": TS.unigram_rank_score_oracle_sql(),
         "corpus_shaping_funnel": DOM.corpus_shaping_funnel_oracle_sql(),
         "corpus_source_overlap": TS.source_overlap_oracle_sql(),
+        "corpus_split_leakage_safe": DOM.leakage_safe_split_oracle_sql(),
     }
 
 

@@ -444,3 +444,105 @@ SELECT source,
          AS kept_tokens
 FROM ranked GROUP BY source ORDER BY source
 """
+
+
+# Deterministic corpus split boundaries (cumulative percent).
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 90  # 80-90 = val, 90-100 = test
+
+
+def leakage_safe_split(
+    documents: DataFrame, groups: DataFrame | None = None
+) -> DataFrame:
+    """Dedup-aware train/val/test split rollup: the split bucket is drawn
+    from the md5 of the document's near-dup GROUP id (its connected
+    component in the MinHash-LSH pair graph, ``dedup.dedup_groups``),
+    falling back to the doc's own id outside any group — so near
+    -duplicates can never straddle train and eval (the leakage a naive
+    per-doc split ships: the eval set "memorized" through a training-set
+    twin).  Deterministic md5 buckets, no ``rand()``, same recipe as
+    ``textstats.stratified_sample``.
+
+    Scale shape: the group frame holds only docs in the pair graph (a
+    small fraction of any corpus), joined on doc_id; the split draw is
+    map-side; one low-cardinality (source, split) rollup.  Pass a
+    prebuilt ``groups`` frame to reuse the materialized-once groups
+    table, like ``dedup.canonical_keep``.  No reference equivalent
+    (corpus tier)."""
+    return (
+        split_assignments(documents, groups)
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("source", "split")
+    )
+
+
+def split_assignments(
+    documents: DataFrame, groups: DataFrame | None = None
+) -> DataFrame:
+    """Per-document split assignment (doc_id, source, split_key, split) —
+    ``leakage_safe_split``'s pre-rollup face; the straddle invariant
+    (one split per near-dup group) is asserted on it in tests."""
+    from .dedup import dedup_groups
+
+    if groups is None:
+        groups = dedup_groups(documents)
+    keyed = (
+        documents.select("doc_id", "source")
+        .join(groups, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("canonical_doc_id", "doc_id").alias("split_key"),
+        )
+    )
+    bucket = (
+        F.expr(
+            "cast(conv(substr(md5(cast(split_key as string)), 1, 8), 16, 10) as bigint)"
+        )
+        % 100
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return keyed.select("doc_id", "source", "split_key", split.alias("split"))
+
+
+def leakage_safe_split_oracle_sql() -> str:
+    from .dedup import _lsh_pairs_cte_body
+
+    return f"""
+WITH RECURSIVE {_lsh_pairs_cte_body()},
+edges AS (
+  SELECT doc_a, doc_b FROM lsh_pairs
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b FROM lsh_pairs
+),
+reach(doc_id, r) AS (
+  SELECT doc_a, doc_b FROM edges
+  UNION
+  SELECT e.doc_a, reach.r FROM edges e JOIN reach ON e.doc_b = reach.doc_id
+),
+grp AS (
+  SELECT doc_id, least(doc_id, min(r)) AS canonical_doc_id
+  FROM reach GROUP BY doc_id
+),
+keyed AS (
+  SELECT d.source, coalesce(g.canonical_doc_id, d.doc_id) AS split_key
+  FROM documents d LEFT JOIN grp g USING (doc_id)
+),
+bucketed AS (
+  SELECT source,
+         ('0x' || substr(md5(CAST(split_key AS VARCHAR)), 1, 8))::BIGINT % 100
+           AS b
+  FROM keyed
+)
+SELECT source,
+       CASE WHEN b < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN b < {SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM bucketed GROUP BY source, split ORDER BY source, split
+"""

@@ -1318,3 +1318,26 @@ def test_host_boilerplate_hand_case(spark):
         assert rows[d].clean_fp == hashlib.md5(body.encode()).hexdigest()
     for d in (5, 6, 7, 8):
         assert rows[d].n_removed_blocks == 0
+
+
+def test_leakage_safe_split_groups_never_straddle(spark):
+    """Every near-dup group must land in exactly one split (the whole
+    point of keying the bucket draw on the group id, not the doc id) —
+    asserted on real sf0.001 groups, which must exist for the test to
+    mean anything."""
+    from pyspark.sql import functions as F
+
+    from go_readability_spark.textops.dedup import dedup_groups
+    from go_readability_spark.textops.domains import split_assignments
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    groups = dedup_groups(docs)
+    assigned = split_assignments(docs, groups=groups)
+    per_group = (
+        assigned.join(groups, "doc_id")
+        .groupBy("canonical_doc_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+    )
+    rows = per_group.collect()
+    assert len(rows) > 0  # groups exist at sf0.001
+    assert all(r.n_splits == 1 for r in rows)
