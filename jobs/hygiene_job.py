@@ -10,7 +10,8 @@ remap).  Cluster deployment mirrors extract_job.py:
         jobs/hygiene_job.py \
         --input <articles root or documents table> \
         --output <output root: funnel/ dup_pairs/ dup_groups/
-                  keep_manifest/ clean_corpus/ contaminated/
+                  keep_manifest/ split_manifest/ clean_corpus/
+                  host_clean_corpus/ shaping_funnel/ contaminated/
                   sample_manifest/ scrubbed_corpus/ mixture_manifest/>
 
 Local smoke run:
@@ -48,6 +49,11 @@ def main() -> None:
         canonical_keep,
         dedup_groups,
         lsh_candidate_pairs,
+    )
+    from go_readability_spark.textops.domains import (
+        corpus_shaping_funnel,
+        host_boilerplate_clean,
+        split_assignments,
     )
     from go_readability_spark.textops.pii import scrub_pii_col
     from go_readability_spark.textops.textstats import (
@@ -87,12 +93,27 @@ def main() -> None:
         canonical_keep(docs, groups=groups).write.mode("overwrite").parquet(
             os.path.join(args.output, "keep_manifest")
         )
+        # dedup-aware split manifest: buckets keyed on the GROUP id so
+        # near-dup twins never straddle a train/eval boundary (same
+        # persisted groups frame — CC still runs once)
+        split_assignments(docs, groups=groups).write.mode("overwrite").parquet(
+            os.path.join(args.output, "split_manifest")
+        )
         groups.unpersist()
 
     # substring-dedup rewrite: the corpus with corpus-duplicated 8-word
     # blocks deleted (Lee et al. ExactSubstr, block-granular)
     block_removal_clean(docs).write.mode("overwrite").parquet(
         os.path.join(args.output, "clean_corpus")
+    )
+
+    # per-host template cleanup + the shaping-funnel report (boilerplate
+    # removal → quality gates on the CLEANED text → per-host caps)
+    host_boilerplate_clean(docs).write.mode("overwrite").parquet(
+        os.path.join(args.output, "host_clean_corpus")
+    )
+    corpus_shaping_funnel(docs).write.mode("overwrite").parquet(
+        os.path.join(args.output, "shaping_funnel")
     )
 
     # benchmark decontamination (broadcast probe set) + the reproducible

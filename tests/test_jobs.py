@@ -101,7 +101,10 @@ def test_hygiene_job_end_to_end():
             "dup_pairs",
             "dup_groups",
             "keep_manifest",
+            "split_manifest",
             "clean_corpus",
+            "host_clean_corpus",
+            "shaping_funnel",
             "contaminated",
             "sample_manifest",
             "scrubbed_corpus",
