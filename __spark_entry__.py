@@ -246,6 +246,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split_leakage_safe": lambda spark, sf: DOM.leakage_safe_split(
             _docs(spark, sf), groups=_text_groups(spark, sf)
         ),
+        "corpus_url_filter": lambda spark, sf: U.url_filter(_docs(spark, sf)),
     }
 
 
@@ -270,6 +271,7 @@ ORDER BY status
         "corpus_shaping_funnel": DOM.corpus_shaping_funnel_oracle_sql(),
         "corpus_source_overlap": TS.source_overlap_oracle_sql(),
         "corpus_split_leakage_safe": DOM.leakage_safe_split_oracle_sql(),
+        "corpus_url_filter": U.url_filter_oracle_sql(),
     }
 
 

@@ -59,6 +59,14 @@ PRESENTATIONAL_ATTRIBUTES = (
 
 DEPRECATED_SIZE_ATTRIBUTE_ELEMS = frozenset(("TABLE", "TH", "TD", "HR", "PRE"))
 
+# Set forms of the cleanStyles drop lists (readability.go:1690-1710): attr
+# names are unique per element (the parser stores last-write-wins), so one
+# filter pass over the attribute list removes exactly what twelve
+# remove_attribute scans would (~170 scans/doc saved; at or below the host
+# noise floor in A/B, kept because it is strictly fewer operations).
+_PRESENTATIONAL_SET = frozenset(PRESENTATIONAL_ATTRIBUTES)
+_PRESENTATIONAL_PLUS_SIZE = _PRESENTATIONAL_SET | {"width", "height"}
+
 PHRASING_ELEMS = frozenset((
     "ABBR", "AUDIO", "B", "BDO", "BR", "BUTTON", "CITE", "CODE", "DATA",
     "DATALIST", "DFN", "EM", "EMBED", "I", "IMG", "INPUT", "KBD", "LABEL",
@@ -1135,11 +1143,16 @@ class Readability:
     def _clean_styles(self, e: Node | None) -> None:
         if e is None or e.tag_name.lower() == "svg":
             return
-        for attr in PRESENTATIONAL_ATTRIBUTES:
-            e.remove_attribute(attr)
-        if e.tag_name in DEPRECATED_SIZE_ATTRIBUTE_ELEMS:
-            e.remove_attribute("width")
-            e.remove_attribute("height")
+        attrs = e.attributes
+        if attrs:
+            drop = (
+                _PRESENTATIONAL_PLUS_SIZE
+                if e.tag_name in DEPRECATED_SIZE_ATTRIBUTE_ELEMS
+                else _PRESENTATIONAL_SET
+            )
+            kept = [a for a in attrs if a[0] not in drop]
+            if len(kept) != len(attrs):
+                e.attributes = kept
         cur = e.first_element_child()
         while cur is not None:
             self._clean_styles(cur)

@@ -104,19 +104,31 @@ def canonical_url_col(url_col: str = "url") -> F.Column:
     return F.expr(canonical_url_sql(url_col, "spark"))
 
 
-def _synth_url_sql(engine: str) -> str:
+def _synth_url_sql(engine: str, category: bool = False) -> str:
     """Deterministic fetch-URL for each (doc_id, source) row — the
     testdata tables carry no URL column, so the query derives one with
     the identical expression on both engines.  The derivation is built
     to exercise every canonicalization rule: mixed scheme/host case,
     default port, trailing slash, utm_*/ref tracking params arriving in
     shuffled order, and a fragment; doc_id % 10 path slots per source
-    make genuine URL collisions (re-fetches of the same page)."""
+    make genuine URL collisions (re-fetches of the same page).
+
+    ``category=True`` injects a section segment into the path (a few
+    slots carry the spam-ish categories ``url_filter`` flags) — used
+    only by the URL-filter view so the dedup queries' pinned oracles
+    keep seeing the exact historical URL text."""
     s = _DIALECTS[engine]["STR"]
+    cat = (
+        " CASE WHEN doc_id % 11 = 3 THEN '/casino' "
+        "WHEN doc_id % 11 = 7 THEN '/poker' ELSE '/news' END ||"
+        if category
+        else ""
+    )
     return (
         "CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END || '://' ||"
         " CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END || '.Example.COM' ||"
         " CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END ||"
+        f"{cat}"
         f" '/articles/' || CAST(doc_id % 10 AS {s}) ||"
         " CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||"
         f" '?utm_source=feed&page=' || CAST(doc_id % 2 AS {s}) ||"
@@ -176,4 +188,90 @@ FROM (SELECT {canon} AS canonical_url, doc_id FROM documents)
 GROUP BY canonical_url
 HAVING count(*) > 1
 ORDER BY canonical_url
+"""
+
+
+# -- URL filtering (UT1-style blocklist + URL keyword gate) -----------------
+#
+# The crawl-frontier hygiene stage CCNet/RefinedWeb run BEFORE fetching or
+# extracting anything: drop URLs whose host is on a curated blocklist (the
+# UT1 adult/spam lists) or whose path carries a flagged keyword.  No
+# reference equivalent — the reference extracts a page it is already given.
+#
+# Scale shape: the blocklist is ~10^6 hosts → broadcast join against the
+# corpus's host column (the corpus-sized side never shuffles); the keyword
+# gate is a pure scalar predicate on the path — both map-stage work, zero
+# wide exchanges at any corpus size.  The default face below renders the
+# blocklist as an IN literal so the whole verdict is ONE dual-dialect
+# scalar expression (the package's oracle-parity strategy).
+
+BLOCKED_HOSTS = ("src3.example.com", "src11.example.com")
+URL_KEYWORDS = ("casino", "poker")
+
+
+# engine-neutral fragments over (host, path) columns: CASE/IN/LIKE parse
+# identically in Spark SQL and DuckDB, so one string serves both.
+_HOST_SQL = f"regexp_extract(canonical_url, '{_URL_RX}', 2)"
+_PATH_SQL = f"regexp_extract(canonical_url, '{_URL_RX}', 4)"
+
+
+def _url_verdict_case_sql() -> str:
+    """Blocklist wins over keyword (a blocked host is dropped whatever its
+    path says) — both arms live at test scale."""
+    hosts = ", ".join(f"'{h}'" for h in BLOCKED_HOSTS)
+    kw = " OR ".join(f"path LIKE '%{k}%'" for k in URL_KEYWORDS)
+    return (
+        f"CASE WHEN host IN ({hosts}) THEN 'blocked_host'"
+        f" WHEN {kw} THEN 'url_keyword' ELSE 'kept' END"
+    )
+
+
+def url_filter(
+    documents: DataFrame, blocked_hosts: DataFrame | None = None
+) -> DataFrame:
+    """Per-document URL-filter verdict: (doc_id, host, reason) with reason
+    in {'blocked_host', 'url_keyword', 'kept'}, ordered by doc_id.
+
+    ``blocked_hosts`` (a one-column ``host`` frame) is the production
+    blocklist hook: when given it replaces the literal IN list with a
+    broadcast join, the shape a UT1-sized list needs."""
+    canon = F.expr(
+        canonical_url_sql(f"({_synth_url_sql('spark', category=True)})", "spark")
+    )
+    verdicts = (
+        documents.select("doc_id", canon.alias("canonical_url"))
+        .select(
+            "doc_id",
+            F.expr(_HOST_SQL).alias("host"),
+            F.expr(_PATH_SQL).alias("path"),
+        )
+        .withColumn("reason", F.expr(_url_verdict_case_sql()))
+        .select("doc_id", "host", "reason")
+    )
+    if blocked_hosts is not None:
+        marked = F.broadcast(
+            blocked_hosts.select("host").distinct().withColumn("_blocked", F.lit(True))
+        )
+        verdicts = (
+            verdicts.join(marked, "host", "left")
+            .withColumn(
+                "reason",
+                F.when(F.col("_blocked"), F.lit("blocked_host")).otherwise(
+                    F.col("reason")
+                ),
+            )
+            .select("doc_id", "host", "reason")
+        )
+    return verdicts.orderBy("doc_id")
+
+
+def url_filter_oracle_sql() -> str:
+    canon = canonical_url_sql(f"({_synth_url_sql('duckdb', category=True)})", "duckdb")
+    return f"""
+SELECT doc_id, host, {_url_verdict_case_sql()} AS reason
+FROM (
+  SELECT doc_id, {_HOST_SQL} AS host, {_PATH_SQL} AS path
+  FROM (SELECT doc_id, {canon} AS canonical_url FROM documents)
+)
+ORDER BY doc_id
 """

@@ -1341,3 +1341,30 @@ def test_leakage_safe_split_groups_never_straddle(spark):
     rows = per_group.collect()
     assert len(rows) > 0  # groups exist at sf0.001
     assert all(r.n_splits == 1 for r in rows)
+
+
+def test_url_filter_blocklist_hook(spark):
+    """The production blocklist face (broadcast join) must agree with the
+    literal IN face for the same hosts, and a host only the DataFrame
+    names must flip its docs to blocked_host."""
+    from go_readability_spark.textops.urls import BLOCKED_HOSTS, url_filter
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    base = {r.doc_id: r for r in url_filter(docs).collect()}
+
+    same = spark.createDataFrame([(h,) for h in BLOCKED_HOSTS], ["host"])
+    via_df = {r.doc_id: r for r in url_filter(docs, blocked_hosts=same).collect()}
+    assert base == via_df
+
+    extra_host = next(
+        r.host for r in base.values() if r.reason == "kept"
+    )
+    widened = spark.createDataFrame(
+        [(h,) for h in (*BLOCKED_HOSTS, extra_host)], ["host"]
+    )
+    via_wide = {r.doc_id: r for r in url_filter(docs, blocked_hosts=widened).collect()}
+    for doc_id, row in via_wide.items():
+        if base[doc_id].host == extra_host:
+            assert row.reason == "blocked_host"
+        else:
+            assert row == base[doc_id]
