@@ -9,8 +9,8 @@ remap).  Cluster deployment mirrors extract_job.py:
     spark-submit --py-files dist/go_readability_spark.zip \
         jobs/hygiene_job.py \
         --input <articles root or documents table> \
-        --output <output root: funnel/ dup_pairs/ dup_groups/
-                  keep_manifest/ split_manifest/ clean_corpus/
+        --output <output root: url_filter_verdicts/ funnel/ dup_pairs/
+                  dup_groups/ keep_manifest/ split_manifest/ clean_corpus/
                   host_clean_corpus/ shaping_funnel/ contaminated/
                   sample_manifest/ scrubbed_corpus/ mixture_manifest/>
 
@@ -63,6 +63,7 @@ def main() -> None:
         stratified_sample,
         training_corpus_funnel,
     )
+    from go_readability_spark.textops.urls import url_filter
 
     if args.local_cpus:
         from go_readability_spark.spark.session import build_session
@@ -78,6 +79,21 @@ def main() -> None:
         F.col(args.source_col).alias("source"),
         F.col(args.text_col).alias("text"),
     )
+
+    # URL-filter verdicts (UT1-style blocklist + path-keyword gate) — in a
+    # crawl pipeline this manifest gates the frontier BEFORE fetch; here it
+    # is emitted alongside the content gates so downstream stages can
+    # anti-join blocked docs out.  The synthetic fetch-URL derivation needs
+    # a numeric doc_id (the testdata shape); over an articles table with
+    # string ids a real corpus would carry its own url column instead.
+    from pyspark.sql.types import NumericType
+
+    if isinstance(docs.schema["doc_id"].dataType, NumericType):
+        url_filter(docs).write.mode("overwrite").parquet(
+            os.path.join(args.output, "url_filter_verdicts")
+        )
+    else:
+        print("hygiene: skipping url_filter_verdicts (non-numeric doc_id, no url column)")
 
     funnel = training_corpus_funnel(docs)
     funnel.write.mode("overwrite").parquet(os.path.join(args.output, "funnel"))

@@ -97,6 +97,7 @@ def test_hygiene_job_end_to_end():
         assert out.returncode == 0, out.stderr[-2000:]
         assert "funnel rows" in out.stdout
         for sub in (
+            "url_filter_verdicts",
             "funnel",
             "dup_pairs",
             "dup_groups",
