@@ -1141,22 +1141,29 @@ class Readability:
         return len(self._get_inner_text(e, True).split(s)) - 1
 
     def _clean_styles(self, e: Node | None) -> None:
-        if e is None or e.tag_name.lower() == "svg":
+        # Iterative pre-order (the reference recurses, readability.go:1707;
+        # crawl pages nest thousands deep and Python's stack does not grow
+        # like Go's — per-node work is order-independent so the walk order
+        # is free).  An svg node prunes its whole subtree (early return in
+        # the reference).
+        if e is None:
             return
-        attrs = e.attributes
-        if attrs:
-            drop = (
-                _PRESENTATIONAL_PLUS_SIZE
-                if e.tag_name in DEPRECATED_SIZE_ATTRIBUTE_ELEMS
-                else _PRESENTATIONAL_SET
-            )
-            kept = [a for a in attrs if a[0] not in drop]
-            if len(kept) != len(attrs):
-                e.attributes = kept
-        cur = e.first_element_child()
-        while cur is not None:
-            self._clean_styles(cur)
-            cur = cur.next_element_sibling
+        stack = [e]
+        while stack:
+            node = stack.pop()
+            if node.tag_name.lower() == "svg":
+                continue
+            attrs = node.attributes
+            if attrs:
+                drop = (
+                    _PRESENTATIONAL_PLUS_SIZE
+                    if node.tag_name in DEPRECATED_SIZE_ATTRIBUTE_ELEMS
+                    else _PRESENTATIONAL_SET
+                )
+                kept = [a for a in attrs if a[0] not in drop]
+                if len(kept) != len(attrs):
+                    node.attributes = kept
+            stack.extend(reversed(node.children))
 
     def _get_link_density(self, element: Node) -> float:
         text_length = len(self._get_inner_text(element, True))
