@@ -261,7 +261,9 @@ class Readability:
             if srcset:
                 parts = [
                     to_abs(url) + (desc or "") + (sep or "")
-                    for url, desc, sep in rx.SRCSET_URL.findall(srcset)
+                    # linear-time SRCSET_URL.findall (regexps.findall_srcset
+                    # docstring: the regex is O(n^2) under Python's engine)
+                    for url, desc, sep in rx.findall_srcset(srcset)
                 ]
                 joiner = " " if ", " in srcset else ""
                 media.set_attribute("srcset", joiner.join(parts))

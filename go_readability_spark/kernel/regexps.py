@@ -51,6 +51,9 @@ WHITESPACE = re.compile(r"^\s*$", _A)
 HAS_CONTENT = re.compile(r"\S$", _A)
 HASH_URL = re.compile(r"^#.+")
 SRCSET_URL = re.compile(r"(\S+)(\s+[\d.]+[xw])?(\s*(?:,|$))", _A)
+# Linear-time findall for SRCSET_URL (see findall_srcset below).
+_SRCSET_TOKEN = re.compile(r"\S+", _A)
+_SRCSET_TAIL = re.compile(r"(\s+[\d.]+[xw])?(\s*(?:,|$))", _A)
 B64_DATA_URL = re.compile(r"^data:\s*([^\s;,]+)\s*;\s*base64\s*,", _I | _A)
 # Comma variants across Latin, Arabic, CJK and other scripts.
 COMMAS = re.compile(
@@ -93,3 +96,47 @@ IMG_EXTENSIONS = re.compile(r"\.(jpg|jpeg|png|webp)")
 BASE64_STARTS = re.compile(r"base64\s*", _A)
 IMG_EXTENSIONS_WITH_SPACES_AND_NUM = re.compile(r"\.(jpg|jpeg|png|webp)\s+\d", _A)
 IMG_EXTENSIONS_AMONG_TEXT = re.compile(r"^\s*\S+\.(jpg|jpeg|png|webp)\S*\s*$", _A)
+
+
+def findall_srcset(s: str) -> list[tuple[str, str, str]]:
+    """Linear-time equivalent of ``SRCSET_URL.findall(s)``.
+
+    Go's RE2 runs regexps.go:24 in O(n); Python's backtracking engine is
+    O(n^2) on it (the ``(\\S+)`` giveback rescans the token at every failed
+    start — a 50 KB unbroken srcset token measured >40 s, one adversarial
+    crawl page could stall an executor).  The engine's search, replayed
+    by hand so every input costs one pass:
+
+    * at a token start the engine first tries the FULL non-space run; the
+      tail ``(\\s+[\\d.]+[xw])?(\\s*(?:,|$))`` is anchored at the token end
+      (its quantifiers never overlap, so matching it there is linear);
+    * if the tail fails, the giveback walks right-to-left until
+      ``\\s*(?:,|$)`` matches zero whitespace — i.e. until the RIGHTMOST
+      ',' strictly inside the token (a giveback position holds a
+      non-space char, so ``\\s+...`` and ``$`` can never fire there);
+    * no comma -> every start inside the token fails the same way, so the
+      scan skips to the next token (what findall's one-char advance
+      converges to).
+
+    Equality with SRCSET_URL.findall is pinned by an exhaustive-alphabet
+    differential test (tests/test_urlfix.py).
+    """
+    out: list[tuple[str, str, str]] = []
+    i, n = 0, len(s)
+    while i < n:
+        tok = _SRCSET_TOKEN.search(s, i)
+        if tok is None:
+            break
+        i, j = tok.start(), tok.end()
+        m = _SRCSET_TAIL.match(s, j)
+        if m is not None:
+            out.append((s[i:j], m.group(1) or "", m.group(2) or ""))
+            i = m.end()
+        else:
+            c = s.rfind(",", i + 1, j)
+            if c == -1:
+                i = j
+            else:
+                out.append((s[i:c], "", ","))
+                i = c + 1
+    return out
