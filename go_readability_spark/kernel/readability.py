@@ -204,21 +204,24 @@ class Readability:
             self._clean_classes(article_content)
 
     def _clean_classes(self, n: Node) -> None:
-        class_name = n.get_attribute("class")
-        if class_name:
-            preserved = [
-                cls for cls in rx.MULTIPLE_WHITESPACES.split(class_name)
-                if cls in self.options.classes_to_preserve
-            ]
-            class_name = " ".join(preserved)
-        if class_name:
-            n.set_attribute("class", class_name)
-        else:
-            n.remove_attribute("class")
-        child = n.first_element_child()
-        while child is not None:
-            self._clean_classes(child)
-            child = child.next_element_sibling
+        # Iterative pre-order (reference recurses, readability.go:246-250;
+        # per-node work is independent so walk order is free — crawl pages
+        # nest past Python's recursion limit, see _clean_styles)
+        stack = [n]
+        while stack:
+            node = stack.pop()
+            class_name = node.get_attribute("class")
+            if class_name:
+                preserved = [
+                    cls for cls in rx.MULTIPLE_WHITESPACES.split(class_name)
+                    if cls in self.options.classes_to_preserve
+                ]
+                class_name = " ".join(preserved)
+            if class_name:
+                node.set_attribute("class", class_name)
+            else:
+                node.remove_attribute("class")
+            stack.extend(reversed(node.children))
 
     def _fix_relative_uris(self, article_content: Node) -> None:
         base_uri = self.doc.get_base_uri()
@@ -1033,11 +1036,14 @@ class Readability:
     # -- noscript images (readability.go:1544-1623) ---------------------------------
 
     def _is_single_image(self, n: Node) -> bool:
-        if n.tag_name == "IMG":
-            return True
-        if len(n.children) != 1 or n.get_text_content().strip() != "":
-            return False
-        return self._is_single_image(n.children[0])
+        # Single-child descent as a loop (tail recursion in the reference,
+        # readability.go:1544-1553)
+        while True:
+            if n.tag_name == "IMG":
+                return True
+            if len(n.children) != 1 or n.get_text_content().strip() != "":
+                return False
+            n = n.children[0]
 
     def _unwrap_noscript_images(self, doc: Node) -> None:
         for img in doc.get_elements_by_tag_name("img"):
@@ -1114,17 +1120,29 @@ class Readability:
         return c == k
 
     def _has_child_block_element(self, element: Node) -> bool:
-        return any(
-            n.tag_name in DIV_TO_P_ELEMS or self._has_child_block_element(n)
-            for n in element.child_nodes
-        )
+        # Iterative DFS (reference recurses via someNode,
+        # readability.go:1653-1658); pure existence check, order-free
+        stack = list(element.child_nodes)
+        while stack:
+            n = stack.pop()
+            if n.tag_name in DIV_TO_P_ELEMS:
+                return True
+            stack.extend(n.child_nodes)
+        return False
 
     def _is_phrasing_content(self, n: Node) -> bool:
-        if n.node_type == TEXT_NODE or n.tag_name in PHRASING_ELEMS:
-            return True
-        return n.tag_name in ("A", "DEL", "INS") and all(
-            self._is_phrasing_content(c) for c in n.child_nodes
-        )
+        # Iterative form of readability.go:1662-1666: text/phrasing nodes
+        # pass without descending; A/DEL/INS require every descendant
+        # reached this way to pass; anything else fails
+        stack = [n]
+        while stack:
+            m = stack.pop()
+            if m.node_type == TEXT_NODE or m.tag_name in PHRASING_ELEMS:
+                continue
+            if m.tag_name not in ("A", "DEL", "INS"):
+                return False
+            stack.extend(m.child_nodes)
+        return True
 
     def _is_whitespace(self, n: Node) -> bool:
         return (

@@ -46,3 +46,32 @@ def test_deep_nesting_readerable_and_codec():
     html = _deep_doc()
     assert is_probably_readerable(html) is True
     assert spans_to_html(html_to_spans(html)) == html
+
+
+def test_deep_nesting_predicate_shapes():
+    """Shapes that drive each formerly-recursive predicate to full depth:
+    phrasing chains (_has_child_block_element / _is_phrasing_content via
+    div->p conversion), A/DEL chains (_is_phrasing_content's recursive
+    arm), a single-child chain inside noscript (_is_single_image), and a
+    classed chain through postProcess (_clean_classes)."""
+    tail = "<p>" + ("more text here. " * 60) + "</p>"
+    d = DEPTH
+    shapes = {
+        "span": "<html><body><div>" + "<span>" * d + "word" + "</span>" * d
+                + tail + "</div></body></html>",
+        "a": "<html><body><div>" + "<a>" * d + "x" + "</a>" * d
+             + tail + "</div></body></html>",
+        "del": "<html><body><div>" + "<del>" * d + "x" + "</del>" * d
+               + tail + "</div></body></html>",
+        "noscript": "<html><body><p>t</p><img src=a.png><noscript>"
+                    + "<div>" * d + "<img src='b.png'>" + "</div>" * d
+                    + "</noscript>" + tail + "</body></html>",
+        "classed": "<html><body><article>" + '<div class="page x">' * d
+                   + "<p>" + ("word " * 120) + "</p>" + "</div>" * d
+                   + tail + "</article></body></html>",
+    }
+    for tag, html in shapes.items():
+        _, _, status = parse_document(
+            html, "http://x/", Options(classes_to_preserve=("page",))
+        )
+        assert status == "ok", tag
