@@ -172,6 +172,32 @@ def with_doc_bytes(df: DataFrame) -> DataFrame:
     )
 
 
+def with_doc_stats(df: DataFrame) -> DataFrame:
+    """JVM-side document size AND markup density in ONE pass over the span
+    texts — no Python.  ``doc_tags`` counts ``<`` occurrences, a cheap
+    upper proxy for DOM node count: kernel worker MEMORY scales with node
+    count, not bytes (an element-dense 3.2 MB page measured 1.4 GB RSS),
+    so density must route one-per-task exactly like byte-size does.  The
+    struct accumulator is referenced twice downstream, which blocks
+    CollapseProject from inlining the aggregate per consumer (CLAUDE.md
+    trap note)."""
+    stats = df.withColumn(
+        "_doc_stats",
+        F.expr(
+            "aggregate(spans, named_struct('b', 0L, 't', 0L), (acc, s) ->"
+            " named_struct("
+            "'b', acc.b + coalesce(length(s.text), 0L),"
+            "'t', acc.t + coalesce("
+            "length(s.text) - length(replace(s.text, '<', '')), 0L)))"
+        ),
+    )
+    return (
+        stats.withColumn("doc_bytes", F.col("_doc_stats.b"))
+        .withColumn("doc_tags", F.col("_doc_stats.t"))
+        .drop("_doc_stats")
+    )
+
+
 def salted_repartition(
     df: DataFrame, num_partitions: int, salt_buckets: int = 64
 ) -> DataFrame:
@@ -202,13 +228,19 @@ def route_and_extract(
     num_partitions: int | None = None,
     mega_partitions: int = 256,
     prescreen: bool = False,
+    mega_doc_tags: int = 100_000,
 ) -> DataFrame:
     """Size-routed extraction: mega-docs take a dedicated fine-grained pass.
 
-    Documents larger than ``mega_doc_bytes`` are repartitioned one-per-task
-    so a single 100 MB page can neither co-batch with peers (Arrow memory)
-    nor straggle a fat partition (SURVEY.md §7 hard parts).  Both branches
-    are the same operator — ``unionByName`` recombines.
+    Documents larger than ``mega_doc_bytes`` OR denser than
+    ``mega_doc_tags`` markup openers are repartitioned one-per-task so a
+    single 100 MB page can neither co-batch with peers (Arrow memory) nor
+    straggle a fat partition (SURVEY.md §7 hard parts).  The density arm
+    exists because kernel memory scales with NODE COUNT, not bytes: an
+    element-dense 3.2 MB page (400k inline elements) measured 1.4 GB of
+    worker RSS — co-batching a few of those OOMs an executor that the
+    byte threshold alone would happily co-batch.  Both branches are the
+    same operator — ``unionByName`` recombines.
 
     ``num_partitions``: pass it ONLY when the input layout is skewed or
     under-split — it inserts a salted full-corpus shuffle, which measured
@@ -227,32 +259,34 @@ def route_and_extract(
       across a two-branch union does not work here: Python map nodes
       don't canonicalize equal, verified on the executed plan.)
     - Without it, the dedicated mega pass remains, but pass an input that
-      already carries ``doc_bytes`` (materialize it at ingest and
-      cluster/sort files by it — each branch's filter then prunes at the
-      parquet row-group level and each byte is read once).  If absent it
-      is computed here, and only the 8-byte size column is evaluated
-      twice, never the reassembled HTML.
+      already carries ``doc_bytes`` AND ``doc_tags`` (materialize both at
+      ingest and cluster/sort files by them — each branch's filter then
+      prunes at the parquet row-group level and each byte is read once).
+      If absent they are computed here in one fused pass
+      (``with_doc_stats``), and only the two numeric columns are
+      evaluated per branch, never the reassembled HTML.
     """
-    has_bytes = "doc_bytes" in df.columns
-    sized = df if has_bytes else with_doc_bytes(df)
+    if "doc_bytes" in df.columns and "doc_tags" in df.columns:
+        sized = df
+    else:
+        sized = with_doc_stats(df.drop("doc_bytes", "doc_tags"))
+    is_mega = (F.col("doc_bytes") > mega_doc_bytes) | (
+        F.col("doc_tags") > mega_doc_tags
+    )
     if num_partitions:
         # raw high-cardinality salt, not pmod(hash, N): see
         # salted_repartition's balls-in-bins note
-        salt = (
-            F.when(
-                F.col("doc_bytes") > mega_doc_bytes,
-                F.concat(F.lit("m"), F.col("doc_id").cast("string")),
-            )
-            .otherwise(F.xxhash64(F.col("doc_id"), F.lit(64)).cast("string"))
-        )
+        salt = F.when(
+            is_mega, F.concat(F.lit("m"), F.col("doc_id").cast("string"))
+        ).otherwise(F.xxhash64(F.col("doc_id"), F.lit(64)).cast("string"))
         routed = (
             sized.withColumn("_salt", salt)
             .repartition(num_partitions, F.col("_salt"))
-            .drop("_salt", "doc_bytes")
+            .drop("_salt", "doc_bytes", "doc_tags")
         )
         return extract_articles(routed, options, prescreen=prescreen)
-    small = sized.filter(F.col("doc_bytes") <= mega_doc_bytes).drop("doc_bytes")
-    mega = sized.filter(F.col("doc_bytes") > mega_doc_bytes).drop("doc_bytes")
+    small = sized.filter(~is_mega).drop("doc_bytes", "doc_tags")
+    mega = sized.filter(is_mega).drop("doc_bytes", "doc_tags")
     # Arrow input batches are cut per partition, so worker memory for the
     # mega branch = (megas co-resident in one partition) × doc size.  Hash
     # megas across many partitions (empty tasks cost ~ms) so a batch almost

@@ -12,6 +12,7 @@ from go_readability_spark.spark.extract import (
     extract_articles,
     route_and_extract,
     with_doc_bytes,
+    with_doc_stats,
 )
 
 # A diverse probe subset (full 119-fixture parity is covered Spark-free by
@@ -86,6 +87,27 @@ def test_route_and_extract_covers_both_branches(spark):
     rows = out.collect()
     assert len(rows) == 20
     assert {r.doc_id for r in rows} == {r.doc_id for r in docs.select("doc_id").collect()}
+
+
+def test_with_doc_stats_matches_python(spark):
+    docs = fixture_documents(spark).limit(5)
+    for r in with_doc_stats(docs).collect():
+        assert r.doc_bytes == sum(len(s.text or "") for s in r.spans)
+        assert r.doc_tags == sum((s.text or "").count("<") for s in r.spans)
+
+
+def test_dense_doc_routes_through_density_arm(spark):
+    """A small-bytes, element-dense doc must take the mega route (kernel
+    memory scales with node count, not bytes) and still extract exactly:
+    with mega_doc_tags low enough, the dense doc is the ONLY row in the
+    mega branch and the result set is unchanged."""
+    docs = fixture_documents(spark).limit(6)
+    base = {r.doc_id: (r.status, r.length) for r in route_and_extract(docs).collect()}
+    routed = {
+        r.doc_id: (r.status, r.length)
+        for r in route_and_extract(docs, mega_doc_tags=500).collect()
+    }
+    assert routed == base  # density routing changes placement, never results
 
 
 def test_malformed_spans_become_error_rows(spark):
