@@ -117,24 +117,51 @@ def test_media_tag_with_quoted_gt_and_comments():
 
 
 def _dom_media_seq(html):
+    """Media-element sequence at the PARSER-EVENT level: every media
+    start tag the builder materializes, in order, with the src value the
+    node stores (last-write-wins, entity-decoded) — i.e. what the tree
+    holds BEFORE the reference's root-level cleanup (domparser.go:
+    1142-1153), which removes root-level siblings of <html> and with
+    them whole media-bearing subtrees (a bare void element swallows
+    everything after it — domparser_test.go:357 quirk — so '<img ...>
+    <!DOCTYPE html><html>…' legitimately parses to an EMPTY document in
+    BOTH engines).  The input codec mirrors TOKENIZATION, so that is the
+    level the differential must compare at; tree-level cleanup is
+    document semantics the kernel applies later, identically to the
+    reference (2KB golden-slice fuzz found the old tree-walk comparison
+    flagging exactly those cleanup cases as false failures)."""
     from go_readability_spark.codec.spans import MEDIA_TAGS
-    from go_readability_spark.kernel.dom import parse_html
+    from go_readability_spark.kernel import dom
 
+    events = []
+
+    class _Rec(dom._DOMBuilder):
+        def _rec(self, node):
+            if node.local_name in MEDIA_TAGS:
+                events.append((node.local_name, node.get_attribute("src")))
+
+        def handle_starttag(self, tag, attrs):
+            super().handle_starttag(tag, attrs)
+            self._rec(self.stack[-1])
+
+        def handle_startendtag(self, tag, attrs):
+            super().handle_startendtag(tag, attrs)
+            self._rec(self.stack[-1].child_nodes[-1])
+
+    doc = dom.new_document("")
+    builder = _Rec(doc)
     try:
-        doc = parse_html(html)
+        builder.feed(html)
+        builder.finish()  # close()-recovery can emit further events
     except Exception:
         return None  # stock-parser parse error: no token stream to compare
-    return [
-        (el.local_name, el.get_attribute("src"))
-        for el in doc.get_elements_by_tag_name("*")
-        if el.local_name in MEDIA_TAGS
-    ]
+    return events
 
 
 def _assert_media_subseq(html):
-    """Differential invariant vs the DOM: the codec's media spans must
-    EQUAL the DOM parse's media-element sequence — same tags, same
-    stored src values, same order.  (r4-late upgrade from the old
+    """Differential invariant vs the DOM builder: the codec's media spans
+    must EQUAL the parser's media start-tag event sequence — same tags,
+    same stored src values, same order.  (r4-late upgrade from the old
     subsequence check: the walk now mirrors check_for_whole_start_tag /
     parse_starttag / close()-recovery via html.parser's own regexes, so
     it neither fabricates media refs on constructs the parser rejects
@@ -309,3 +336,24 @@ def test_media_classification_tracks_rawtext_and_bare_quotes():
         assert spans_to_html(spans) == html, html
         got = [(s.kind, s.media_ref) for s in spans if s.kind != "markup"]
         assert got == want, (html, got)
+
+
+def test_media_before_html_root_matches_event_level():
+    """Tokenizer-vs-tree split pinned (2KB golden-slice fuzz class): a
+    bare void element before <html> swallows the document and the
+    root-level cleanup (domparser.go:1142-1153) then empties the TREE in
+    both engines — but the tokenizer still emitted the media start tags,
+    and the input codec (raw-stream semantics) must keep classifying
+    them.  The event-level differential must agree; the resulting tree
+    must be empty (reference parity)."""
+    from go_readability_spark.codec.spans import html_to_spans
+    from go_readability_spark.kernel.dom import parse_html
+
+    html = (
+        '﻿<img src="b>c.png"><!DOCTYPE html>\n<html>\n'
+        "<head><title>t</title></head>\n<body><p>x</p></body></html>"
+    )
+    _assert_media_subseq(html)
+    spans = [(s.kind, s.media_ref) for s in html_to_spans(html) if s.kind != "markup"]
+    assert spans == [("img", "b>c.png")]
+    assert parse_html(html).child_nodes == []  # root cleanup, both engines
