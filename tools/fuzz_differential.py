@@ -78,14 +78,27 @@ def main() -> int:
     n = fails = 0
     while time.time() < deadline:
         n += 1
-        if rng.random() < 0.75 or not pages:
+        mode = rng.random()
+        if mode < 0.6 or not pages:
             s = "".join(rng.choice(FRAGS) for _ in range(rng.randint(0, 14)))
-        else:
+        elif mode < 0.85:
             p = rng.choice(pages)
             a = rng.randrange(0, max(1, len(p) - 400))
             s = p[a : a + rng.randint(10, 400)]
             if rng.random() < 0.5:
                 s += rng.choice(FRAGS)
+        else:
+            # big slices keep enough real document structure (doctype +
+            # <html> roots, raw-text elements with their closers) to reach
+            # tree-level interactions the 400-char windows miss — this mode
+            # found the root-cleanup false-failure class the smaller modes
+            # ran 11M cases without touching
+            p = rng.choice(pages)
+            a = rng.randrange(0, max(1, len(p) - 2500))
+            s = p[a : a + rng.randint(500, 2500)]
+            if rng.random() < 0.4 and s:
+                i = rng.randrange(len(s))
+                s = s[:i] + rng.choice(FRAGS) + s[i:]
         if rng.random() < 0.2 and s:
             i = rng.randrange(len(s))
             s = s[:i] + rng.choice("<>\"'=&;!-/ ") + s[i:]
