@@ -150,14 +150,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_then_dedup": _extract_then_dedup_query,
         "extract_funnel": _extract_funnel_query,
         "dedup_then_extract": _dedup_then_extract_query,
-        "pricing_summary": R.pricing_summary,
-        "revenue_by_region": R.revenue_by_region,
+        # corpus-shaping ops (VERDICT r4 item 1: these ARE the LLM-pipeline
+        # mandate — CCNet-shape boilerplate removal, cross-snapshot crawl
+        # dedup, leakage-safe eval splits, the chained shaping funnel — so
+        # they hold driver-registry rows; four generic relational faces
+        # moved to extra_queries with oracles unchanged)
+        "corpus_shaping_funnel": lambda spark, sf: DOM.corpus_shaping_funnel(
+            _docs(spark, sf)
+        ),
+        "corpus_host_boilerplate": lambda spark, sf: DOM.host_boilerplate_removal(
+            _docs(spark, sf)
+        ),
+        "dedup_incremental": lambda spark, sf: D.incremental_new_docs(
+            _docs(spark, sf)
+        ),
+        "corpus_split_leakage_safe": lambda spark, sf: DOM.leakage_safe_split(
+            _docs(spark, sf), groups=_text_groups(spark, sf)
+        ),
         "topk_orders_per_customer": R.topk_orders_per_customer,
         "sessionize_events": R.sessionize_events,
-        "hourly_event_rollup": R.hourly_event_rollup,
         "events_asof_orders": R.events_asof_orders,
         "event_cooccurrence_range_join": R.event_cooccurrence_range_join,
-        "events_props_json": R.events_props_json,
         "corpus_rollup": R.corpus_rollup,
         # dedup family
         "dedup_exact": lambda spark, sf: D.exact_duplicates(_docs(spark, sf)),
@@ -221,13 +234,15 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_sequences": lambda spark, sf: TS.pack_sequences(
             _docs(spark, sf)
         ),
-        "dedup_incremental": lambda spark, sf: D.incremental_new_docs(
-            _docs(spark, sf)
-        ),
+        # four generic relational-shell faces demoted from the driver
+        # registry (r5) to make room for the corpus-shaping ops; their
+        # plan shapes stay exercised by metrics_agg / corpus_rollup / the
+        # window queries, and their oracles are unchanged
+        "pricing_summary": R.pricing_summary,
+        "revenue_by_region": R.revenue_by_region,
+        "hourly_event_rollup": R.hourly_event_rollup,
+        "events_props_json": R.events_props_json,
         "corpus_domain_caps": lambda spark, sf: DOM.domain_caps(_docs(spark, sf)),
-        "corpus_host_boilerplate": lambda spark, sf: DOM.host_boilerplate_removal(
-            _docs(spark, sf)
-        ),
         "corpus_quality_sample": lambda spark, sf: DOM.quality_weighted_sample(
             _docs(spark, sf)
         ),
@@ -237,14 +252,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_rank": lambda spark, sf: TS.unigram_rank_score(
             _docs(spark, sf)
         ),
-        "corpus_shaping_funnel": lambda spark, sf: DOM.corpus_shaping_funnel(
-            _docs(spark, sf)
-        ),
         "corpus_source_overlap": lambda spark, sf: TS.source_overlap(
             _docs(spark, sf)
-        ),
-        "corpus_split_leakage_safe": lambda spark, sf: DOM.leakage_safe_split(
-            _docs(spark, sf), groups=_text_groups(spark, sf)
         ),
         "corpus_url_filter": lambda spark, sf: U.url_filter(_docs(spark, sf)),
     }
@@ -262,15 +271,15 @@ SELECT * FROM (VALUES
 ORDER BY status
 """,
         "corpus_pack_sequences": TS.pack_sequences_oracle_sql(),
-        "dedup_incremental": D.incremental_new_docs_oracle_sql(),
+        "pricing_summary": R.pricing_summary_oracle_sql(),
+        "revenue_by_region": R.revenue_by_region_oracle_sql(),
+        "hourly_event_rollup": R.hourly_event_rollup_oracle_sql(),
+        "events_props_json": R.events_props_json_oracle_sql(),
         "corpus_domain_caps": DOM.domain_caps_oracle_sql(),
-        "corpus_host_boilerplate": DOM.host_boilerplate_removal_oracle_sql(),
         "corpus_quality_sample": DOM.quality_weighted_sample_oracle_sql(),
         "corpus_length_histogram": TS.length_histogram_oracle_sql(),
         "text_unigram_rank": TS.unigram_rank_score_oracle_sql(),
-        "corpus_shaping_funnel": DOM.corpus_shaping_funnel_oracle_sql(),
         "corpus_source_overlap": TS.source_overlap_oracle_sql(),
-        "corpus_split_leakage_safe": DOM.leakage_safe_split_oracle_sql(),
         "corpus_url_filter": U.url_filter_oracle_sql(),
     }
 
@@ -457,14 +466,14 @@ def oracle_sql() -> dict[str, str]:
         "golden_compare_join": R.golden_compare_join_oracle_sql(),
         "skew_salt_distribution": R.skew_salt_distribution_oracle_sql(),
         "readerable_prescreen": R.readerable_prescreen_oracle_sql(),
-        "pricing_summary": R.pricing_summary_oracle_sql(),
-        "revenue_by_region": R.revenue_by_region_oracle_sql(),
+        "corpus_shaping_funnel": DOM.corpus_shaping_funnel_oracle_sql(),
+        "corpus_host_boilerplate": DOM.host_boilerplate_removal_oracle_sql(),
+        "dedup_incremental": D.incremental_new_docs_oracle_sql(),
+        "corpus_split_leakage_safe": DOM.leakage_safe_split_oracle_sql(),
         "topk_orders_per_customer": R.topk_orders_per_customer_oracle_sql(),
         "sessionize_events": R.sessionize_events_oracle_sql(),
-        "hourly_event_rollup": R.hourly_event_rollup_oracle_sql(),
         "events_asof_orders": R.events_asof_orders_oracle_sql(),
         "event_cooccurrence_range_join": R.event_cooccurrence_range_join_oracle_sql(),
-        "events_props_json": R.events_props_json_oracle_sql(),
         "corpus_rollup": R.corpus_rollup_oracle_sql(),
         "dedup_exact": D.exact_duplicates_oracle_sql(),
         "dedup_ngram_jaccard": D.ngram_jaccard_pairs_oracle_sql(),
