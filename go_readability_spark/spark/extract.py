@@ -198,6 +198,17 @@ def with_doc_stats(df: DataFrame) -> DataFrame:
     )
 
 
+def _doc_bytes_expr():
+    return F.expr("aggregate(spans, 0L, (acc, s) -> acc + coalesce(length(s.text), 0L))")
+
+
+def _doc_tags_expr():
+    return F.expr(
+        "aggregate(spans, 0L, (acc, s) -> acc +"
+        " coalesce(length(s.text) - length(replace(s.text, '<', '')), 0L))"
+    )
+
+
 def salted_repartition(
     df: DataFrame, num_partitions: int, salt_buckets: int = 64
 ) -> DataFrame:
@@ -262,14 +273,25 @@ def route_and_extract(
       already carries ``doc_bytes`` AND ``doc_tags`` (materialize both at
       ingest and cluster/sort files by them — each branch's filter then
       prunes at the parquet row-group level and each byte is read once).
-      If absent they are computed here in one fused pass
-      (``with_doc_stats``), and only the two numeric columns are
-      evaluated per branch, never the reassembled HTML.
+      If both are absent they are computed here in one fused pass
+      (``with_doc_stats``); if exactly one is present (the pre-density
+      contract materialized only ``doc_bytes``) it is REUSED — keeping
+      its row-group pruning — and only the missing stat is computed.
+      Either way only the numeric columns are evaluated per branch,
+      never the reassembled HTML.
     """
-    if "doc_bytes" in df.columns and "doc_tags" in df.columns:
+    have_bytes = "doc_bytes" in df.columns
+    have_tags = "doc_tags" in df.columns
+    if have_bytes and have_tags:
         sized = df
+    elif have_bytes:
+        # caller pre-materialized doc_bytes under the pre-density contract:
+        # keep its row-group-pruning value, compute only the missing stat
+        sized = df.withColumn("doc_tags", _doc_tags_expr())
+    elif have_tags:
+        sized = df.withColumn("doc_bytes", _doc_bytes_expr())
     else:
-        sized = with_doc_stats(df.drop("doc_bytes", "doc_tags"))
+        sized = with_doc_stats(df)
     is_mega = (F.col("doc_bytes") > mega_doc_bytes) | (
         F.col("doc_tags") > mega_doc_tags
     )

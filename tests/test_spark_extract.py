@@ -96,6 +96,21 @@ def test_with_doc_stats_matches_python(spark):
         assert r.doc_tags == sum((s.text or "").count("<") for s in r.spans)
 
 
+def test_partial_doc_stats_are_reused_not_recomputed(spark):
+    """A caller that pre-materialized only doc_bytes (the pre-density
+    contract) must keep that column — route_and_extract computes only the
+    missing doc_tags, so the fused two-stat aggregate (named_struct) never
+    appears in the plan and results are unchanged."""
+    docs = fixture_documents(spark).limit(6)
+    base = {r.doc_id: (r.status, r.length) for r in route_and_extract(docs).collect()}
+    pre = with_doc_bytes(docs)
+    routed_df = route_and_extract(pre, mega_doc_bytes=50_000)
+    plan = routed_df._jdf.queryExecution().executedPlan().toString()
+    assert "named_struct" not in plan  # fused recompute path not taken
+    routed = {r.doc_id: (r.status, r.length) for r in routed_df.collect()}
+    assert routed == base
+
+
 def test_dense_doc_routes_through_density_arm(spark):
     """A small-bytes, element-dense doc must take the mega route (kernel
     memory scales with node count, not bytes) and still extract exactly:

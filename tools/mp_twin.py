@@ -59,7 +59,10 @@ def _run(nproc: int) -> tuple[float, float]:
     total = len(_PAGES)
     chunk = max(1, total // (nproc * 8))
     tasks = [(i, min(i + chunk, total)) for i in range(0, total, chunk)]
-    with mp.Pool(nproc) as pool:  # fork: _PAGES shared copy-on-write
+    # _PAGES is shared copy-on-write, which only the fork start method
+    # provides; under spawn/forkserver workers would see an empty list and
+    # silently measure nothing — fail loudly off-Linux instead.
+    with mp.get_context("fork").Pool(nproc) as pool:
         t0 = time.perf_counter()
         done = sum(pool.map(_work, tasks))
         dt = time.perf_counter() - t0
