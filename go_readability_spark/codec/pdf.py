@@ -15,14 +15,24 @@ strings decode as 2-byte character codes through the merged map
 (destinations are UTF-16BE).  Documents whose CMaps conflict (several
 fonts reusing the same CID space differently) need per-font resource
 resolution and fall back to the 1-byte latin-1 interpretation; encrypted
-files and object streams stay out of scope — pass a production extractor
-(pypdf/pdfminer) through the ``real_extract`` hook of
+files stay out of scope — pass a production extractor (pypdf/pdfminer)
+through the ``real_extract`` hook of
 ``spark.corpus.ingest_pdf_documents`` and the Spark-side plumbing is
 unchanged.
 
-Layout model: one output line per show-text operator in stream order —
-the text layer's native reading order for simple generators.  This mirrors
-how the HTML side treats the DOM's document order as layout order.
+Object-stream PDFs (the common PDF 1.5+ real-crawl class) are parsed
+structurally: cross-reference tables AND cross-reference streams
+(PDF 32000 §7.5.4/§7.5.8, incl. /Prev chains, hybrid /XRefStm, and PNG
+predictors on the stream data) locate objects, ``/Type /ObjStm`` object
+streams (§7.5.7) are unpacked for the catalog/page dictionaries packed
+inside them, and the page tree is walked so ``/Contents`` streams extract
+in TRUE PAGE ORDER.  When no usable structure exists (fixture-grade or
+damaged files) the extractor falls back to scanning every top-level
+stream in physical order, the previous behavior.
+
+Layout model: one output line per show-text operator, pages in page-tree
+order (physical stream order under the fallback).  This mirrors how the
+HTML side treats the DOM's document order as layout order.
 """
 
 from __future__ import annotations
@@ -239,18 +249,423 @@ def _content_streams(pdf: bytes) -> list[bytes]:
     return streams
 
 
+# -- Document structure: xref tables/streams, ObjStm, page tree ---------------
+# (PDF 32000 §7.5; reference surface: the "PDF/layout parse" arm of the
+# north rule's extraction tier.)  Everything here is best-effort: any
+# structural inconsistency makes the caller fall back to the raw stream
+# scan rather than raising.
+
+_STARTXREF_RE = re.compile(rb"startxref\s+(\d+)")
+_OBJ_AT_RE = re.compile(rb"\s*(\d+)\s+(\d+)\s+obj")
+_STREAM_KW_RE = re.compile(rb"\s*stream(\r\n|\n|\r)")
+_XREF_ROW_RE = re.compile(rb"\s*(\d{10})\s+(\d{5})\s+([nf])")
+_XREF_SUBSEC_RE = re.compile(rb"\s*(\d+)\s+(\d+)[ \t]*\r?\n")
+_INT_TOK_RE = re.compile(rb"[-+]?\d+")
+_REF_RE = re.compile(rb"(\d+)\s+(\d+)\s+R\b")
+_MAX_OBJECTS = 200_000  # structural walk bound: plenty for any real file
+
+
+def _balanced(buf: bytes, start: int, open_tok: bytes, close_tok: bytes) -> int:
+    """End index (exclusive) of the balanced ``open_tok``…``close_tok``
+    region beginning at ``start``, skipping literal strings; -1 if
+    unbalanced.  Token length 1 or 2 (``[``/``]`` and ``<<``/``>>``)."""
+    depth = 0
+    i, n, w = start, len(buf), len(open_tok)
+    while i < n:
+        c = buf[i : i + 1]
+        if buf[i : i + w] == open_tok:
+            depth += 1
+            i += w
+            continue
+        if buf[i : i + w] == close_tok:
+            depth -= 1
+            i += w
+            if depth == 0:
+                return i
+            continue
+        if c == b"(":  # literal string: ignore delimiters inside
+            j, d, esc = i + 1, 1, False
+            while j < n and d:
+                cc = buf[j : j + 1]
+                if esc:
+                    esc = False
+                elif cc == b"\\":
+                    esc = True
+                elif cc == b"(":
+                    d += 1
+                elif cc == b")":
+                    d -= 1
+                j += 1
+            i = j
+            continue
+        i += 1
+    return -1
+
+
+def _dict_int(d: bytes, key: bytes) -> int | None:
+    """Direct integer value of ``/key`` (None for refs/absent)."""
+    m = re.search(rb"/" + key + rb"\s+(\d+)(?!\s+\d+\s+R)", d)
+    return int(m.group(1)) if m else None
+
+
+def _dict_ref(d: bytes, key: bytes) -> int | None:
+    m = re.search(rb"/" + key + rb"\s+(\d+)\s+\d+\s+R\b", d)
+    return int(m.group(1)) if m else None
+
+
+def _dict_array(d: bytes, key: bytes) -> bytes | None:
+    m = re.search(rb"/" + key + rb"\s*\[", d)
+    if not m:
+        return None
+    end = _balanced(d, m.end() - 1, b"[", b"]")
+    return d[m.end() : end - 1] if end > 0 else None
+
+
+def _dict_subdict(d: bytes, key: bytes) -> bytes | None:
+    m = re.search(rb"/" + key + rb"\s*<<", d)
+    if not m:
+        return None
+    end = _balanced(d, m.end() - 2, b"<<", b">>")
+    return d[m.end() - 2 : end] if end > 0 else None
+
+
+def _png_unpredict(data: bytes, predictor: int, columns: int, colors: int, bpc: int) -> bytes | None:
+    """Undo PNG row predictors 10-15 (§7.4.4.4); None on malformed input.
+    Predictor 1/None passes through; TIFF predictor 2 is out of envelope."""
+    if predictor <= 1:
+        return data
+    if predictor < 10:
+        return None
+    bpp = max(1, (colors * bpc) // 8)
+    stride = max(1, (columns * colors * bpc + 7) // 8)
+    row_len = stride + 1
+    if len(data) % row_len:
+        data = data[: len(data) - (len(data) % row_len)]
+    out = bytearray()
+    prev = bytearray(stride)
+    for r in range(0, len(data), row_len):
+        tag = data[r]
+        row = bytearray(data[r + 1 : r + row_len])
+        if tag == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif tag == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif tag == 3:  # Average
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + (left + prev[i]) // 2) & 0xFF
+        elif tag == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif tag != 0:
+            return None
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _decode_stream(head: bytes, raw: bytes) -> bytes | None:
+    """Apply the stream's filter chain; None when out of envelope (only
+    FlateDecode, optionally PNG-predicted, is supported — which is what
+    xref/ObjStm/content streams use in practice)."""
+    named = re.search(rb"/Filter\s*(?:\[\s*)?/(\w+)", head)
+    if named is None:
+        return raw
+    if named.group(1) != b"FlateDecode":
+        return None
+    try:
+        data = zlib.decompress(raw)
+    except zlib.error:
+        return None
+    parms = _dict_subdict(head, b"DecodeParms") or _dict_subdict(head, b"DP")
+    if parms:
+        predictor = _dict_int(parms, b"Predictor") or 1
+        columns = _dict_int(parms, b"Columns") or 1
+        colors = _dict_int(parms, b"Colors") or 1
+        bpc = _dict_int(parms, b"BitsPerComponent") or 8
+        data = _png_unpredict(data, predictor, columns, colors, bpc)
+    return data
+
+
+class _Doc:
+    """Random-access object loader over a parsed cross-reference map.
+    Entries: obj num → ("o", byte offset) | ("c", objstm num, index)."""
+
+    def __init__(self, pdf: bytes, entries: dict[int, tuple]):
+        self.pdf = pdf
+        self.entries = entries
+        self._objstm: dict[int, list[tuple[int, bytes]]] = {}
+
+    def object(self, num: int, depth: int = 0) -> tuple[bytes | None, bytes | None]:
+        """→ (body bytes, decoded stream data or None).  For packed
+        objects the body is the slice out of its object stream."""
+        if depth > 8:
+            return None, None
+        e = self.entries.get(num)
+        if e is None:
+            return None, None
+        if e[0] == "o":
+            return self._object_at(e[1], depth)
+        packed = self._objstm_objects(e[1], depth)
+        idx = e[2]  # xref type-2 field 3 = index WITHIN the object stream
+        if 0 <= idx < len(packed) and packed[idx][0] == num:
+            return packed[idx][1], None
+        for onum, body in packed:  # writer disagreement: trust the header
+            if onum == num:
+                return body, None
+        return None, None
+
+    def _object_at(self, offset: int, depth: int) -> tuple[bytes | None, bytes | None]:
+        pdf = self.pdf
+        m = _OBJ_AT_RE.match(pdf, offset)
+        if not m:
+            return None, None
+        i = m.end()
+        while i < len(pdf) and pdf[i : i + 1] in b" \t\r\n":
+            i += 1
+        if pdf[i : i + 2] == b"<<":
+            end = _balanced(pdf, i, b"<<", b">>")
+            if end < 0:
+                return None, None
+            head = pdf[i:end]
+            sm = _STREAM_KW_RE.match(pdf, end)
+            if not sm:
+                return head, None
+            dstart = sm.end()
+            length = _dict_int(head, b"Length")
+            if length is None:
+                ref = _dict_ref(head, b"Length")
+                if ref is not None:
+                    body, _ = self.object(ref, depth + 1)
+                    if body is not None:
+                        lm = _INT_TOK_RE.search(body)
+                        length = int(lm.group()) if lm else None
+            if length is not None and dstart + length <= len(pdf):
+                raw = pdf[dstart : dstart + length]
+            else:
+                em = pdf.find(b"endstream", dstart)
+                if em < 0:
+                    return head, None
+                raw = pdf[dstart:em].rstrip(b"\r\n")
+            return head, _decode_stream(head, raw)
+        em = pdf.find(b"endobj", i)
+        return (pdf[i:em] if em >= 0 else None), None
+
+    def _objstm_objects(self, num: int, depth: int) -> list[tuple[int, bytes]]:
+        """Ordered (object number, body) pairs packed in ObjStm ``num`` —
+        ordered because xref type-2 entries address by in-stream index."""
+        cached = self._objstm.get(num)
+        if cached is not None:
+            return cached
+        self._objstm[num] = []  # break reference cycles while parsing
+        head, data = self.object(num, depth + 1)
+        if head is None or data is None:
+            return self._objstm[num]
+        n = _dict_int(head, b"N")
+        first = _dict_int(head, b"First")
+        if not n or first is None or first > len(data):
+            return self._objstm[num]
+        ints = [int(t) for t in _INT_TOK_RE.findall(data[:first])][: 2 * n]
+        pairs = list(zip(ints[0::2], ints[1::2]))
+        body = data[first:]
+        out: list[tuple[int, bytes]] = []
+        for i, (onum, off) in enumerate(pairs):
+            end = pairs[i + 1][1] if i + 1 < len(pairs) else len(body)
+            if 0 <= off <= end <= len(body):
+                out.append((onum, body[off:end]))
+        self._objstm[num] = out
+        return out
+
+
+def _parse_xref_table(pdf: bytes, offset: int, entries: dict[int, tuple]):
+    """Classic §7.5.4 table at ``offset`` → (trailer dict bytes, [next
+    offsets to follow]); (None, []) if malformed."""
+    i = offset + 4  # past "xref"
+    while True:
+        m = _XREF_SUBSEC_RE.match(pdf, i)
+        if not m:
+            break
+        start, count = int(m.group(1)), int(m.group(2))
+        i = m.end()
+        if count > _MAX_OBJECTS:
+            return None, []
+        for k in range(count):
+            rm = _XREF_ROW_RE.match(pdf, i)
+            if not rm:
+                return None, []
+            i = rm.end()
+            if rm.group(3) == b"n":
+                entries.setdefault(start + k, ("o", int(rm.group(1))))
+    tm = re.compile(rb"\s*trailer\s*<<").match(pdf, i)
+    if not tm:
+        return None, []
+    end = _balanced(pdf, tm.end() - 2, b"<<", b">>")
+    if end < 0:
+        return None, []
+    trailer = pdf[tm.end() - 2 : end]
+    nxt = []
+    hybrid = _dict_int(trailer, b"XRefStm")  # hybrid-reference (§7.5.8.4)
+    if hybrid is not None:
+        nxt.append(hybrid)
+    prev = _dict_int(trailer, b"Prev")
+    if prev is not None:
+        nxt.append(prev)
+    return trailer, nxt
+
+
+def _parse_xref_stream(pdf: bytes, offset: int, entries: dict[int, tuple]):
+    """§7.5.8 cross-reference stream at ``offset`` → (stream dict bytes
+    as the trailer, [next offsets]); (None, []) if malformed."""
+    head, data = _Doc(pdf, {})._object_at(offset, 0)
+    if head is None or data is None or b"/XRef" not in head:
+        return None, []
+    w = _dict_array(head, b"W")
+    if w is None:
+        return None, []
+    widths = [int(t) for t in _INT_TOK_RE.findall(w)]
+    if len(widths) < 3 or sum(widths) == 0:
+        return None, []
+    w1, w2, w3 = widths[:3]
+    rec = w1 + w2 + w3
+    size = _dict_int(head, b"Size") or 0
+    idx = _dict_array(head, b"Index")
+    if idx is not None:
+        nums = [int(t) for t in _INT_TOK_RE.findall(idx)]
+        sections = list(zip(nums[0::2], nums[1::2]))
+    else:
+        sections = [(0, size)]
+    pos = 0
+    for start, count in sections:
+        if count > _MAX_OBJECTS:
+            return None, []
+        for k in range(count):
+            row = data[pos : pos + rec]
+            pos += rec
+            if len(row) < rec:
+                return None, []
+            f1 = int.from_bytes(row[:w1], "big") if w1 else 1
+            f2 = int.from_bytes(row[w1 : w1 + w2], "big")
+            f3 = int.from_bytes(row[w1 + w2 :], "big")
+            num = start + k
+            if f1 == 1:
+                entries.setdefault(num, ("o", f2))
+            elif f1 == 2:
+                entries.setdefault(num, ("c", f2, f3))
+    prev = _dict_int(head, b"Prev")
+    return head, [prev] if prev is not None else []
+
+
+def _parse_xref(pdf: bytes) -> tuple[dict[int, tuple], bytes] | None:
+    """Follow ``startxref`` and the /Prev chain across classic tables,
+    xref streams, and hybrid files → (entries, newest trailer dict)."""
+    last = None
+    for last in _STARTXREF_RE.finditer(pdf):
+        pass
+    if last is None:
+        return None
+    entries: dict[int, tuple] = {}
+    trailer: bytes | None = None
+    stack = [int(last.group(1))]
+    seen: set[int] = set()
+    while stack:
+        offset = stack.pop(0)
+        if offset in seen or not 0 <= offset < len(pdf):
+            continue
+        seen.add(offset)
+        if pdf[offset : offset + 4] == b"xref":
+            t, nxt = _parse_xref_table(pdf, offset, entries)
+        else:
+            t, nxt = _parse_xref_stream(pdf, offset, entries)
+        if t is None:
+            continue
+        if trailer is None:
+            trailer = t
+        stack.extend(nxt)
+    if trailer is None or not entries:
+        return None
+    return entries, trailer
+
+
+def structured_page_streams(pdf: bytes) -> list[bytes] | None:
+    """Decoded ``/Contents`` streams in page-tree order, resolving objects
+    through the cross-reference map (incl. objects packed in ObjStm).
+    None when the file has no usable structure or any page content stream
+    fails to decode — callers then fall back to the raw physical scan."""
+    parsed = _parse_xref(pdf)
+    if parsed is None:
+        return None
+    entries, trailer = parsed
+    doc = _Doc(pdf, entries)
+    root = _dict_ref(trailer, b"Root")
+    if root is None:
+        return None
+    root_body, _ = doc.object(root)
+    if root_body is None:
+        return None
+    pages = _dict_ref(root_body, b"Pages")
+    if pages is None:
+        return None
+    out: list[bytes] = []
+    stack = [pages]
+    visited: set[int] = set()
+    while stack:
+        if len(visited) > _MAX_OBJECTS:
+            return None
+        num = stack.pop()
+        if num in visited:
+            continue
+        visited.add(num)
+        body, _ = doc.object(num)
+        if body is None:
+            continue
+        kids = _dict_array(body, b"Kids")
+        if kids is not None:
+            refs = [int(m.group(1)) for m in _REF_RE.finditer(kids)]
+            stack.extend(reversed(refs))  # DFS preserving Kids order
+            continue
+        contents = _dict_array(body, b"Contents")
+        if contents is not None:
+            refs = [int(m.group(1)) for m in _REF_RE.finditer(contents)]
+        else:
+            ref = _dict_ref(body, b"Contents")
+            refs = [ref] if ref is not None else []
+        for r in refs:
+            _, data = doc.object(r)
+            if data is None:
+                return None  # undecodable page content: whole path falls back
+            out.append(data)
+    return out or None
+
+
 def pdf_to_text_lines(pdf: bytes) -> list[str]:
-    """Extract the text layer: one entry per show-text operator, in
-    stream order.  Returns [] for PDFs with no extractable simple text.
-    Hex strings decode as 2-byte CIDs through the document's ToUnicode
-    CMap when one consistent map exists (Identity-H envelope), else as
-    1-byte latin-1 codes (simple fonts)."""
+    """Extract the text layer: one entry per show-text operator, pages in
+    page-tree order when the file carries a usable cross-reference
+    structure (xref table or stream, incl. ObjStm-packed page dicts),
+    else all top-level streams in physical order.  Returns [] for PDFs
+    with no extractable simple text.  Hex strings decode as 2-byte CIDs
+    through the document's ToUnicode CMap when one consistent map exists
+    (Identity-H envelope), else as 1-byte latin-1 codes (simple fonts)."""
     lines: list[str] = []
     streams = _content_streams(pdf)
     cmap = _document_cmap(streams)
-    for stream in streams:
-        if _is_cmap_resource(stream):
-            continue  # a CMap resource, not page content
+    try:
+        structured = structured_page_streams(pdf)
+    except Exception:
+        structured = None
+    scan = (
+        structured
+        if structured
+        else [s for s in streams if not _is_cmap_resource(s)]
+    )
+    for stream in scan:
         for block in _TEXT_BLOCK_RE.finditer(stream):
             body = block.group(1)
             # array TJ first (so its inner strings aren't double-counted),

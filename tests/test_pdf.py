@@ -276,3 +276,159 @@ def test_literal_string_line_continuation():
     assert _unescape(b"line1\\\nline2") == "line1line2"
     assert _unescape(b"line1\\\r\nline2") == "line1line2"
     assert _unescape(b"line1\\\rline2") == "line1line2"
+
+
+# -- Object-stream / xref-stream PDFs (PDF 32000 §7.5.7-7.5.8) ----------------
+
+
+def _build_structured_pdf(page_texts, xref_stream=True, scramble=True):
+    """A well-formed multi-page PDF: catalog/pages/page dicts packed in an
+    ObjStm (xref-stream mode) or top-level (classic mode), FlateDecode
+    content streams, and a real cross-reference (stream with PNG Up
+    predictor, or classic table + trailer).  ``scramble`` writes content
+    streams in REVERSE page order so physical-scan order differs from
+    page-tree order — the property the structural parser must fix."""
+    buf = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+
+    def add_obj(num, body: bytes):
+        offsets[num] = len(buf)
+        buf.extend(b"%d 0 obj\n" % num + body + b"\nendobj\n")
+
+    def add_stream_obj(num, head_extra: bytes, data: bytes):
+        offsets[num] = len(buf)
+        head = b"<< " + head_extra + b" /Length %d >>" % len(data)
+        buf.extend(
+            b"%d 0 obj\n" % num + head + b"\nstream\n" + data + b"\nendstream\nendobj\n"
+        )
+
+    n_pages = len(page_texts)
+    first_content = 3 + n_pages
+    objstm_num = first_content + n_pages
+    xref_num = objstm_num + 1
+
+    kids = b" ".join(b"%d 0 R" % (3 + i) for i in range(n_pages))
+    packed = [
+        (1, b"<</Type/Catalog/Pages 2 0 R>>"),
+        (2, b"<</Type/Pages/Count %d/Kids [%s]>>" % (n_pages, kids)),
+    ]
+    for i in range(n_pages):
+        packed.append(
+            (3 + i, b"<</Type/Page/Parent 2 0 R/Contents %d 0 R>>" % (first_content + i))
+        )
+
+    content_data = [zlib.compress(b"BT (%s) Tj ET" % t.encode()) for t in page_texts]
+    order = range(n_pages - 1, -1, -1) if scramble else range(n_pages)
+    for i in order:
+        add_stream_obj(first_content + i, b"/Filter /FlateDecode", content_data[i])
+
+    if not xref_stream:
+        # classic mode: packed objects written top-level, classic xref table
+        for num, body in packed:
+            add_obj(num, body)
+        xref_offset = len(buf)
+        size = objstm_num  # objects 0..objstm_num-1 (no objstm/xref objects)
+        rows = [b"0000000000 65535 f \n"]
+        for n in range(1, size):
+            rows.append(b"%010d 00000 n \n" % offsets[n])
+        buf.extend(b"xref\n0 %d\n" % size + b"".join(rows))
+        buf.extend(b"trailer\n<< /Size %d /Root 1 0 R >>\n" % size)
+        buf.extend(b"startxref\n%d\n%%%%EOF\n" % xref_offset)
+        return bytes(buf)
+
+    # ObjStm holding the catalog/pages/page dicts
+    bodies = [b for _, b in packed]
+    offs, o = [], 0
+    for b in bodies:
+        offs.append(o)
+        o += len(b) + 1
+    header = b" ".join(
+        b"%d %d" % (num, off) for (num, _), off in zip(packed, offs)
+    ) + b" "
+    objstm_raw = header + b" ".join(bodies)
+    add_stream_obj(
+        objstm_num,
+        b"/Type /ObjStm /N %d /First %d /Filter /FlateDecode" % (len(packed), len(header)),
+        zlib.compress(objstm_raw),
+    )
+
+    # xref stream: W [1 4 2], PNG Up predictor, FlateDecode
+    xref_offset = len(buf)
+    size = xref_num + 1
+
+    def row(t, f2, f3):
+        return bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+
+    table = {0: row(0, 0, 0xFFFF)}
+    for idx, (num, _) in enumerate(packed):
+        table[num] = row(2, objstm_num, idx)
+    for i in range(n_pages):
+        table[first_content + i] = row(1, offsets[first_content + i], 0)
+    table[objstm_num] = row(1, offsets[objstm_num], 0)
+    table[xref_num] = row(1, xref_offset, 0)
+    raw_rows = b"".join(table[n] for n in range(size))
+    stride = 7
+    enc, prev = bytearray(), bytes(stride)
+    for r in range(0, len(raw_rows), stride):
+        cur = raw_rows[r : r + stride]
+        enc.append(2)  # PNG Up filter per row
+        enc.extend((cur[i] - prev[i]) & 0xFF for i in range(stride))
+        prev = cur
+    add_stream_obj(
+        xref_num,
+        b"/Type /XRef /Size %d /W [1 4 2] /Root 1 0 R /Filter /FlateDecode"
+        b" /DecodeParms << /Predictor 12 /Columns 7 >>" % size,
+        zlib.compress(bytes(enc)),
+    )
+    buf.extend(b"startxref\n%d\n%%%%EOF\n" % xref_offset)
+    return bytes(buf)
+
+
+PAGES3 = ["alpha page one", "beta page two", "gamma page three"]
+
+
+def test_pdf_objstm_xref_stream_extracts_in_page_order():
+    """PDF 1.5+ class: page dicts packed in an ObjStm, located through a
+    PNG-predicted xref stream — extraction must follow the page tree even
+    though the content streams are physically reversed (no hook)."""
+    pdf = _build_structured_pdf(PAGES3, xref_stream=True, scramble=True)
+    assert pdf_to_text_lines(pdf) == PAGES3
+
+
+def test_pdf_classic_xref_table_extracts_in_page_order():
+    pdf = _build_structured_pdf(PAGES3, xref_stream=False, scramble=True)
+    assert pdf_to_text_lines(pdf) == PAGES3
+
+
+def test_pdf_structured_page_streams_shape():
+    from go_readability_spark.codec.pdf import structured_page_streams
+
+    pdf = _build_structured_pdf(PAGES3, xref_stream=True, scramble=True)
+    streams = structured_page_streams(pdf)
+    assert streams is not None and len(streams) == 3
+    assert all(b"BT" in s for s in streams)
+
+
+def test_pdf_broken_xref_falls_back_to_physical_scan():
+    """Corrupting startxref must degrade to the raw scan (same text set,
+    physical order), never to an exception or empty output."""
+    pdf = _build_structured_pdf(PAGES3, xref_stream=True, scramble=True)
+    broken = pdf.replace(b"startxref", b"startxrEf")
+    lines = pdf_to_text_lines(broken)
+    assert lines == list(reversed(PAGES3))  # physical order, all pages
+
+
+def test_pdf_objstm_through_spark_ingest(spark):
+    """The ObjStm envelope end-to-end: binary payload → ingest → kernel
+    paragraphs, without the real_extract hook."""
+    from go_readability_spark.spark.corpus import ingest_pdf_documents
+    from go_readability_spark.spark.extract import extract_articles
+
+    pdf = _build_structured_pdf(
+        ["opening paragraph with enough words to score." * 3] * 4,
+        xref_stream=True,
+    )
+    df = spark.createDataFrame([("pdf-objstm-1", bytearray(pdf))], "doc_id string, payload binary")
+    arts = extract_articles(ingest_pdf_documents(df)).collect()
+    assert len(arts) == 1 and arts[0].status == "ok"
+    assert "opening paragraph" in arts[0].text_content
