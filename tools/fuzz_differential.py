@@ -57,7 +57,35 @@ FRAGS = [
     "<a href=\"?a=1&amp;b=2\">", "<meta charset=utf-8/>", "<link rel=icon>",
     "<base href=http://x/>", "<input value='<img src=v.png>'>", "]]>", "?>",
     "<p data-x=\"unterminated", "<td colspan=2>", "<table>", "</table>",
+    # r4 ADVICE recall classes, kept in the alphabet so long runs keep
+    # exploring them (pinned cases: tests/test_codec.py CDATA-comment and
+    # quote-in-bare-value): comment markers inside raw-text content, and
+    # quote characters inside unquoted attribute values
+    "<style>/* <!-- */</style>", "<!--\"<video></video>", "<![CDATA[ x <p></p>",
+    "<img alt=it's src=l.png>", "<img alt=he\"said src=m.png>",
+    "<script><!-- '</script>' --></script>", "<style><!--", "<a b=c'd>",
+    "<img alt=\"x src=bare'quote.png>",
 ]
+
+# structural wrappers: embed ANY generated soup inside a comment, CDATA
+# section, raw-text element, or an unquoted attribute value — the two r4
+# recall classes generalized to generators rather than fixed strings
+_RAW_TEXT_TAGS = ["style", "script", "title", "textarea", "xmp", "iframe"]
+
+
+def _wrap(rng: random.Random, s: str) -> str:
+    mode = rng.randrange(5)
+    if mode == 0:
+        return f"<!--{s}-->"
+    if mode == 1:
+        return f"<![CDATA[{s}]]>"
+    if mode == 2:
+        t = rng.choice(_RAW_TEXT_TAGS)
+        return f"<{t}>{s}</{t}>"
+    if mode == 3:  # quote-in-bare-value: soup becomes an unquoted attr value
+        payload = s.replace(" ", "").replace(">", "")[:40] or "x'y"
+        return f"<img alt={payload} src=wrapped.png>"
+    return f"<!--{s}"  # unterminated comment swallowing the soup
 
 
 def main() -> int:
@@ -102,6 +130,8 @@ def main() -> int:
         if rng.random() < 0.2 and s:
             i = rng.randrange(len(s))
             s = s[:i] + rng.choice("<>\"'=&;!-/ ") + s[i:]
+        if rng.random() < 0.12:
+            s = _wrap(rng, s) + (rng.choice(FRAGS) if rng.random() < 0.5 else "")
         for check in (fs._assert_equivalent, tc._assert_media_subseq):
             try:
                 check(s)
