@@ -1,6 +1,12 @@
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: scale-proof tests (bigger synthetic corpora)"
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     from go_readability_spark.spark.session import build_session
