@@ -126,6 +126,7 @@ class Node:
         "data_table",
         "_tc_dirty",
         "_tc_cache",
+        "_norm_text",
     )
 
     def __init__(self, node_type: int, node_name: str = "") -> None:
@@ -155,6 +156,10 @@ class Node:
         # Subtree-text memo, valid while _tc_dirty is False.
         self._tc_dirty: bool = True
         self._tc_cache: str = ""
+        # Normalized-text memo (strip + whitespace collapse over the
+        # subtree text), valid only while _tc_dirty is False AND non-None;
+        # invalidated whenever _tc_cache is recomputed.
+        self._norm_text: str | None = None
 
     def __repr__(self) -> str:  # debugging aid only
         if self.node_type == TEXT_NODE:
@@ -385,6 +390,36 @@ class Node:
             out.extend(b)
         return out
 
+    def count_tags(self, tags: tuple[str, ...]) -> dict[str, int]:
+        """Descendant-element counts for several tags in ONE pre-order
+        walk — order-free, so exactly what repeated
+        ``len(get_elements_by_tag_name(t))`` calls would return
+        (readability.go's cleanConditionally counts p/img/li/input with
+        four separate scans; counting is walk-order-independent)."""
+        counts = dict.fromkeys(tags, 0)
+        stack = self.children[::-1]
+        while stack:
+            child = stack.pop()
+            t = child.tag_name
+            if t in counts:
+                counts[t] += 1
+            if child.children:
+                stack += child.children[::-1]
+        return counts
+
+    def has_descendant_tag(self, tags: tuple[str, ...]) -> bool:
+        """Early-exit existence probe for any of ``tags`` among
+        descendants — equivalent to ``any(len(get_elements_by_tag_name(t))
+        for t in tags)`` without materializing the node lists."""
+        stack = self.children[::-1]
+        while stack:
+            child = stack.pop()
+            if child.tag_name in tags:
+                return True
+            if child.children:
+                stack += child.children[::-1]
+        return False
+
     def get_element_by_id(self, id_: str) -> Node | None:
         if self.id == id_:
             return self
@@ -430,8 +465,40 @@ class Node:
             text = "".join(parts)
             self._tc_cache = text
             self._tc_dirty = False
+            self._norm_text = None  # derived memo follows the raw one
             return text
         return self._text_content or ""
+
+    def subtree_text_is_blank(self) -> bool:
+        """True iff ``get_text_content()`` would be empty or whitespace —
+        decided WITHOUT building the concatenated string (early exit on
+        the first visible character; a concatenation of blank pieces is
+        blank, so piecewise checking is exactly equivalent).  The cleanup
+        passes probe emptiness over freshly-mutated (memo-dirty) subtrees
+        thousands of times per page; building the full text each time was
+        ~8% of kernel wall."""
+        if self.node_type == TEXT_NODE:
+            tc = self._text_content
+            if tc is None:
+                tc = self._text_content = decode_html(self._inner_html or "")
+            return not tc or tc.isspace()
+        stack = list(self.child_nodes)
+        while stack:
+            c = stack.pop()
+            if c.node_type == TEXT_NODE:
+                tc = c._text_content
+                if tc is None:
+                    tc = c._text_content = decode_html(c._inner_html or "")
+                if tc and not tc.isspace():
+                    return False
+            elif c.child_nodes:
+                if not c._tc_dirty:
+                    cc = c._tc_cache
+                    if cc and not cc.isspace():
+                        return False
+                else:
+                    stack.extend(c.child_nodes)
+        return True
 
     def set_text_content(self, text: str) -> None:
         self._mark_text_dirty()

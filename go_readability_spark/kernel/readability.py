@@ -433,12 +433,11 @@ class Readability:
         self._replace_node_tags(self._get_all_nodes_with_tag(article_content, "h1"), "h2")
 
         def _is_extra_paragraph(paragraph: Node) -> bool:
-            img = len(paragraph.get_elements_by_tag_name("img"))
-            embed = len(paragraph.get_elements_by_tag_name("embed"))
-            obj = len(paragraph.get_elements_by_tag_name("object"))
-            iframe = len(paragraph.get_elements_by_tag_name("iframe"))
-            total = img + embed + obj + iframe
-            return total == 0 and self._get_inner_text(paragraph, False) == ""
+            # one early-exit walk instead of four full scans; the blank
+            # probe equals _get_inner_text(paragraph, False) == ""
+            return not paragraph.has_descendant_tag(
+                ("IMG", "EMBED", "OBJECT", "IFRAME")
+            ) and paragraph.subtree_text_is_blank()
 
         self._remove_nodes(
             self._get_all_nodes_with_tag(article_content, "p"), _is_extra_paragraph
@@ -1097,7 +1096,9 @@ class Readability:
         return not s or s.isspace()
 
     def _is_element_without_content(self, n: Node) -> bool:
-        if n.node_type != ELEMENT_NODE or not self._is_blank(n.get_text_content()):
+        # blankness probed piecewise (early exit) instead of building the
+        # subtree string: exactly equivalent to _is_blank(textContent)
+        if n.node_type != ELEMENT_NODE or not n.subtree_text_is_blank():
             return False
         k = len(n.children)
         if k == 0:
@@ -1152,6 +1153,16 @@ class Readability:
     # -- text metrics (readability.go:1675-1733,1988-2000) ------------------------------
 
     def _get_inner_text(self, e: Node, normalize_spaces: bool) -> str:
+        if normalize_spaces and e.node_type == ELEMENT_NODE:
+            # the scoring loop re-normalizes the same unchanged subtrees
+            # many times (link/text density, char counts); memoize the
+            # normalized form behind the same dirty flag as the raw memo
+            if not e._tc_dirty and e._norm_text is not None:
+                return e._norm_text
+            text = rx.NORMALIZE.sub(" ", e.get_text_content().strip())
+            if not e._tc_dirty:  # get_text_content just validated the memo
+                e._norm_text = text
+            return text
         text = e.get_text_content().strip()
         if normalize_spaces:
             return rx.NORMALIZE.sub(" ", text)
@@ -1354,10 +1365,11 @@ class Readability:
                 return True
 
             if self._get_char_count(n, ",") < 10:
-                p = len(n.get_elements_by_tag_name("p"))
-                img = len(n.get_elements_by_tag_name("img"))
-                li = len(n.get_elements_by_tag_name("li")) - 100
-                input_ = len(n.get_elements_by_tag_name("input"))
+                counts = n.count_tags(("P", "IMG", "LI", "INPUT"))
+                p = counts["P"]
+                img = counts["IMG"]
+                li = counts["LI"] - 100
+                input_ = counts["INPUT"]
                 heading_density = self._get_text_density(
                     n, "h1", "h2", "h3", "h4", "h5", "h6"
                 )
