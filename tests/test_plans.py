@@ -77,7 +77,7 @@ def test_pushdown_reaches_scan(spark):
     """Representative pushdown checks: the pricing filter and the
     embedding query-id filters must land in the parquet scan."""
     e = _entry()
-    plan = _plan(e.queries()["pricing_summary"](spark, SF_DIR))
+    plan = _plan(_all_queries(e)["pricing_summary"](spark, SF_DIR))
     assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
     plan = _plan(e.queries()["similarity_cosine_topk"](spark, SF_DIR))
     assert "LessThan(vec_id,8)" in plan
