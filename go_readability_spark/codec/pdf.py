@@ -8,17 +8,18 @@ operators over both literal ``(...)`` strings (with PDF escapes) and hex
 ``<...>`` strings, page-ordered.
 
 CID-keyed (Type0/Identity-H) text — the common real-crawl case — is
-handled for the single-consistent-CMap envelope: when the document's
-ToUnicode CMap streams (``beginbfchar``/``beginbfrange`` sections,
-PDF 32000 §9.10.3) merge without conflicting mappings, hex show-text
-strings decode as 2-byte character codes through the merged map
-(destinations are UTF-16BE).  Documents whose CMaps conflict (several
-fonts reusing the same CID space differently) need per-font resource
-resolution and fall back to the 1-byte latin-1 interpretation; encrypted
-files stay out of scope — pass a production extractor (pypdf/pdfminer)
-through the ``real_extract`` hook of
-``spark.corpus.ingest_pdf_documents`` and the Spark-side plumbing is
-unchanged.
+handled two ways.  When the file carries a usable cross-reference
+structure, fonts are resolved PER PAGE (``/Resources`` → ``/Font`` →
+``/ToUnicode``, inherited down the page tree per PDF 32000 §7.7.3.4)
+and ``Tf`` operators select the active font, so several fonts reusing
+the same CID space with different ToUnicode maps each decode through
+their own CMap (§9.10.3; destinations are UTF-16BE).  Without usable
+structure, the fallback is the single-consistent-CMap envelope: the
+document's CMap streams merge, and documents whose CMaps conflict fall
+back to the 1-byte latin-1 interpretation.  Encrypted files stay out of
+scope — pass a production extractor (pypdf/pdfminer) through the
+``real_extract`` hook of ``spark.corpus.ingest_pdf_documents`` and the
+Spark-side plumbing is unchanged.
 
 Object-stream PDFs (the common PDF 1.5+ real-crawl class) are parsed
 structurally: cross-reference tables AND cross-reference streams
@@ -37,6 +38,7 @@ HTML side treats the DOM's document order as layout order.
 
 from __future__ import annotations
 
+import bisect
 import re
 import zlib
 
@@ -57,7 +59,7 @@ _ESCAPES = {
 }
 
 
-def _unescape(raw: bytes) -> str:
+def _unescape_bytes(raw: bytes) -> bytes:
     out = bytearray()
     i, n = 0, len(raw)
     while i < n:
@@ -88,7 +90,11 @@ def _unescape(raw: bytes) -> str:
             continue
         out += c
         i += 1
-    return out.decode("latin-1")
+    return bytes(out)
+
+
+def _unescape(raw: bytes) -> str:
+    return _unescape_bytes(raw).decode("latin-1")
 
 
 def _hex_bytes(raw: bytes) -> bytes:
@@ -594,11 +600,67 @@ def _parse_xref(pdf: bytes) -> tuple[dict[int, tuple], bytes] | None:
     return entries, trailer
 
 
-def structured_page_streams(pdf: bytes) -> list[bytes] | None:
-    """Decoded ``/Contents`` streams in page-tree order, resolving objects
-    through the cross-reference map (incl. objects packed in ObjStm).
-    None when the file has no usable structure or any page content stream
-    fails to decode — callers then fall back to the raw physical scan."""
+class _Font:
+    """Per-page font face: ``two_byte`` (Type0/CID — 2-byte character
+    codes) and its own ToUnicode ``cmap`` (None when the font embeds
+    none)."""
+
+    __slots__ = ("two_byte", "cmap")
+
+    def __init__(self, two_byte: bool, cmap: dict[int, str] | None):
+        self.two_byte = two_byte
+        self.cmap = cmap
+
+
+# PDF name token after '/': anything up to a delimiter (§7.3.5)
+_FONT_REF_RE = re.compile(rb"/([^\s/<>\[\]()%]+)\s+(\d+)\s+\d+\s+R\b")
+_TF_RE = re.compile(rb"/([^\s/<>\[\]()%]+)\s+[-+0-9.]+\s+Tf\b")
+
+
+def _resolve_dict(doc: _Doc, body: bytes, key: bytes) -> bytes | None:
+    """``/key`` value as dict bytes: a direct ``<<…>>`` or a reference."""
+    sub = _dict_subdict(body, key)
+    if sub is not None:
+        return sub
+    ref = _dict_ref(body, key)
+    if ref is None:
+        return None
+    rbody, _ = doc.object(ref)
+    return rbody
+
+
+def _fonts_from_resources(doc: _Doc, res: bytes) -> dict[bytes, _Font]:
+    """``/Font`` entries of a resource dict → {name → _Font}.  Entries
+    must be references (the universal writer practice); inline font
+    dicts are skipped (their Tf falls back to the document CMap)."""
+    fonts: dict[bytes, _Font] = {}
+    fdict = _resolve_dict(doc, res, b"Font")
+    if fdict is None:
+        return fonts
+    for m in _FONT_REF_RE.finditer(fdict):
+        body, _ = doc.object(int(m.group(2)))
+        if body is None:
+            continue
+        sub = re.search(rb"/Subtype\s*/(\w+)", body)
+        two_byte = bool(sub and sub.group(1) == b"Type0")
+        cmap: dict[int, str] | None = None
+        tu = _dict_ref(body, b"ToUnicode")
+        if tu is not None:
+            _, data = doc.object(tu)
+            if data:
+                cmap = parse_tounicode_cmap(data) or None
+        fonts[m.group(1)] = _Font(two_byte, cmap)
+    return fonts
+
+
+def structured_pages(pdf: bytes) -> list[tuple[bytes, dict[bytes, _Font]]] | None:
+    """(page content bytes, fonts) per page in page-tree order, resolving
+    objects through the cross-reference map (incl. objects packed in
+    ObjStm).  Multiple ``/Contents`` streams of one page concatenate
+    (§7.8.2 treats them as a single stream).  ``/Resources`` inherit down
+    the page tree (§7.7.3.4).  None when the file has no usable structure
+    or any page content stream fails to decode — callers then fall back
+    to the raw physical scan."""
     parsed = _parse_xref(pdf)
     if parsed is None:
         return None
@@ -613,23 +675,24 @@ def structured_page_streams(pdf: bytes) -> list[bytes] | None:
     pages = _dict_ref(root_body, b"Pages")
     if pages is None:
         return None
-    out: list[bytes] = []
-    stack = [pages]
+    out: list[tuple[bytes, dict[bytes, _Font]]] = []
+    stack: list[tuple[int, bytes | None]] = [(pages, None)]
     visited: set[int] = set()
     while stack:
         if len(visited) > _MAX_OBJECTS:
             return None
-        num = stack.pop()
+        num, inherited_res = stack.pop()
         if num in visited:
             continue
         visited.add(num)
         body, _ = doc.object(num)
         if body is None:
             continue
+        res = _resolve_dict(doc, body, b"Resources") or inherited_res
         kids = _dict_array(body, b"Kids")
         if kids is not None:
             refs = [int(m.group(1)) for m in _REF_RE.finditer(kids)]
-            stack.extend(reversed(refs))  # DFS preserving Kids order
+            stack.extend(reversed([(r, res) for r in refs]))  # DFS, Kids order
             continue
         contents = _dict_array(body, b"Contents")
         if contents is not None:
@@ -637,12 +700,130 @@ def structured_page_streams(pdf: bytes) -> list[bytes] | None:
         else:
             ref = _dict_ref(body, b"Contents")
             refs = [ref] if ref is not None else []
+        datas: list[bytes] = []
         for r in refs:
             _, data = doc.object(r)
             if data is None:
                 return None  # undecodable page content: whole path falls back
-            out.append(data)
+            datas.append(data)
+        if datas:
+            fonts = _fonts_from_resources(doc, res) if res is not None else {}
+            out.append((b"\n".join(datas), fonts))
     return out or None
+
+
+def structured_page_streams(pdf: bytes) -> list[bytes] | None:
+    """Decoded page content in page-tree order (one entry per page); see
+    ``structured_pages``."""
+    pages = structured_pages(pdf)
+    if pages is None:
+        return None
+    return [content for content, _ in pages]
+
+
+def _decode_codes(bs: bytes, font: _Font) -> str:
+    """Character-code bytes → text through a RESOLVED font.  Type0: 2-byte
+    codes through the font's own CMap (unmapped codes and a trailing odd
+    byte drop; no ToUnicode at all degrades to the raw-byte latin-1 read,
+    the pre-resolution behavior; a string NONE of whose codes map reads
+    as latin-1 — on real crawls that is writer junk like an ASCII
+    literal shown under a CID font, and readable text must survive).
+    Simple fonts: 1-byte codes, mapped when a ToUnicode exists, else
+    latin-1."""
+    if font.two_byte:
+        if font.cmap is None:
+            return bs.decode("latin-1")
+        out: list[str] = []
+        mapped = 0
+        for i in range(0, len(bs) - 1, 2):
+            v = font.cmap.get(int.from_bytes(bs[i : i + 2], "big"))
+            if v is not None:
+                mapped += 1
+                out.append(v)
+        if mapped == 0 and bs:
+            return bs.decode("latin-1")
+        return "".join(out)
+    if font.cmap:
+        return "".join(font.cmap.get(b, chr(b)) for b in bs)
+    return bs.decode("latin-1")
+
+
+def _hex_text(raw: bytes, font: _Font | None, doc_cmap: dict[int, str] | None) -> str:
+    return _unhex(raw, doc_cmap) if font is None else _decode_codes(_hex_bytes(raw), font)
+
+
+def _lit_text(raw: bytes, font: _Font | None, doc_cmap: dict[int, str] | None) -> str:
+    del doc_cmap  # literal strings never went through the document CMap
+    return _unescape(raw) if font is None else _decode_codes(_unescape_bytes(raw), font)
+
+
+def _tf_events(stream: bytes) -> list[tuple[int, bytes]]:
+    """(absolute position, font name) per ``Tf`` operator, skipping
+    matches inside literal strings (text data quoting ' /F1 12 Tf' must
+    not switch fonts)."""
+    lit_spans = [(m.start(), m.end()) for m in _STR_IN_ARRAY_RE.finditer(stream)]
+    starts = [a for a, _ in lit_spans]
+    events: list[tuple[int, bytes]] = []
+    for m in _TF_RE.finditer(stream):
+        i = bisect.bisect_right(starts, m.start()) - 1
+        if i >= 0 and m.start() < lit_spans[i][1]:
+            continue
+        events.append((m.start(), m.group(1)))
+    return events
+
+
+def _stream_text(
+    stream: bytes,
+    fonts: dict[bytes, _Font] | None,
+    doc_cmap: dict[int, str] | None,
+    lines: list[str],
+) -> None:
+    """Append one line per show-text operator.  With a non-empty per-page
+    ``fonts`` map, ``Tf`` operators select the decode per font; operators
+    before any Tf (or naming an unresolved font) use the document-CMap
+    fallback."""
+    events = _tf_events(stream) if fonts else []
+    positions = [p for p, _ in events]
+    names = [n for _, n in events]
+
+    def font_at(pos: int) -> _Font | None:
+        i = bisect.bisect_right(positions, pos) - 1
+        return fonts.get(names[i]) if i >= 0 else None
+
+    for block in _TEXT_BLOCK_RE.finditer(stream):
+        body = block.group(1)
+        base = block.start(1)
+        # array TJ first (so its inner strings aren't double-counted),
+        # tracked by span to preserve operator order
+        taken: list[tuple[int, str]] = []
+        consumed: list[tuple[int, int]] = []
+        for m in _TJ_ARRAY_RE.finditer(body):
+            f = font_at(base + m.start())
+            lits = list(_STR_IN_ARRAY_RE.finditer(m.group(1)))
+            lit_spans = [(s.start(), s.end()) for s in lits]
+            parts = [(s.start(), _lit_text(s.group(1), f, doc_cmap)) for s in lits] + [
+                (s.start(), _hex_text(s.group(1), f, doc_cmap))
+                for s in _HEX_IN_ARRAY_RE.finditer(m.group(1))
+                # a literal like (a<b>) must not double-count its
+                # hex-digit-only angle text as a hex string
+                if not any(a <= s.start() < b for a, b in lit_spans)
+            ]
+            taken.append((m.start(), "".join(t for _, t in sorted(parts))))
+            consumed.append((m.start(), m.end()))
+        for m in _TJ_RE.finditer(body):
+            if any(a <= m.start() < b for a, b in consumed):
+                continue
+            taken.append((m.start(), _lit_text(m.group(1), font_at(base + m.start()), doc_cmap)))
+            # record the literal span so hex-lookalike text INSIDE it
+            # (e.g. "(see <41> Tj)") isn't re-emitted by the hex scan
+            consumed.append((m.start(), m.end()))
+        for m in _TJ_HEX_RE.finditer(body):
+            if any(a <= m.start() < b for a, b in consumed):
+                continue
+            taken.append((m.start(), _hex_text(m.group(1), font_at(base + m.start()), doc_cmap)))
+        for _, text in sorted(taken):
+            if text:
+                lines.append(text)
 
 
 def pdf_to_text_lines(pdf: bytes) -> list[str]:
@@ -650,52 +831,24 @@ def pdf_to_text_lines(pdf: bytes) -> list[str]:
     page-tree order when the file carries a usable cross-reference
     structure (xref table or stream, incl. ObjStm-packed page dicts),
     else all top-level streams in physical order.  Returns [] for PDFs
-    with no extractable simple text.  Hex strings decode as 2-byte CIDs
-    through the document's ToUnicode CMap when one consistent map exists
-    (Identity-H envelope), else as 1-byte latin-1 codes (simple fonts)."""
+    with no extractable simple text.  Under the structural path, fonts
+    resolve per page and ``Tf`` selects each operator's decode (so
+    conflicting per-font ToUnicode CMaps each apply correctly); under the
+    fallback, hex strings decode as 2-byte CIDs through the document's
+    merged ToUnicode CMap when one consistent map exists (Identity-H
+    envelope), else as 1-byte latin-1 codes (simple fonts)."""
     lines: list[str] = []
     streams = _content_streams(pdf)
-    cmap = _document_cmap(streams)
+    doc_cmap = _document_cmap(streams)
     try:
-        structured = structured_page_streams(pdf)
+        pages = structured_pages(pdf)
     except Exception:
-        structured = None
-    scan = (
-        structured
-        if structured
-        else [s for s in streams if not _is_cmap_resource(s)]
-    )
-    for stream in scan:
-        for block in _TEXT_BLOCK_RE.finditer(stream):
-            body = block.group(1)
-            # array TJ first (so its inner strings aren't double-counted),
-            # tracked by span to preserve operator order
-            taken: list[tuple[int, str]] = []
-            consumed: list[tuple[int, int]] = []
-            for m in _TJ_ARRAY_RE.finditer(body):
-                lits = list(_STR_IN_ARRAY_RE.finditer(m.group(1)))
-                lit_spans = [(s.start(), s.end()) for s in lits]
-                parts = [(s.start(), _unescape(s.group(1))) for s in lits] + [
-                    (s.start(), _unhex(s.group(1), cmap))
-                    for s in _HEX_IN_ARRAY_RE.finditer(m.group(1))
-                    # a literal like (a<b>) must not double-count its
-                    # hex-digit-only angle text as a hex string
-                    if not any(a <= s.start() < b for a, b in lit_spans)
-                ]
-                taken.append((m.start(), "".join(t for _, t in sorted(parts))))
-                consumed.append((m.start(), m.end()))
-            for m in _TJ_RE.finditer(body):
-                if any(a <= m.start() < b for a, b in consumed):
-                    continue
-                taken.append((m.start(), _unescape(m.group(1))))
-                # record the literal span so hex-lookalike text INSIDE it
-                # (e.g. "(see <41> Tj)") isn't re-emitted by the hex scan
-                consumed.append((m.start(), m.end()))
-            for m in _TJ_HEX_RE.finditer(body):
-                if any(a <= m.start() < b for a, b in consumed):
-                    continue
-                taken.append((m.start(), _unhex(m.group(1), cmap)))
-            for _, text in sorted(taken):
-                if text:
-                    lines.append(text)
+        pages = None
+    if pages:
+        for content, fonts in pages:
+            _stream_text(content, fonts, doc_cmap, lines)
+    else:
+        for s in streams:
+            if not _is_cmap_resource(s):
+                _stream_text(s, None, doc_cmap, lines)
     return lines

@@ -432,3 +432,127 @@ def test_pdf_objstm_through_spark_ingest(spark):
     arts = extract_articles(ingest_pdf_documents(df)).collect()
     assert len(arts) == 1 and arts[0].status == "ok"
     assert "opening paragraph" in arts[0].text_content
+
+
+# -- Per-font CID decoding (Resources→Font→ToUnicode + Tf tracking) -----------
+
+
+def _cmap_stream(pairs):
+    """Minimal ToUnicode CMap mapping each (src_hex, dst_hex) bfchar pair."""
+    rows = b"".join(b"<%s> <%s>\n" % (s, d) for s, d in pairs)
+    return (
+        b"/CIDInit /ProcSet findresource begin\nbegincmap\n"
+        b"%d beginbfchar\n" % len(pairs) + rows + b"endbfchar\nendcmap\nend\n"
+    )
+
+
+def _build_pdf_with_fonts(objs, root=1):
+    """Classic-xref PDF from {num: dict body | ('stream', head_extra, data)}.
+    Objects written in number order, real offsets, table + trailer."""
+    buf = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(buf)
+        spec = objs[num]
+        if isinstance(spec, tuple):
+            _, head_extra, data = spec
+            head = b"<< " + head_extra + b" /Length %d >>" % len(data)
+            buf.extend(
+                b"%d 0 obj\n" % num + head + b"\nstream\n" + data
+                + b"\nendstream\nendobj\n"
+            )
+        else:
+            buf.extend(b"%d 0 obj\n" % num + spec + b"\nendobj\n")
+    size = max(objs) + 1
+    xref_offset = len(buf)
+    rows = [b"0000000000 65535 f \n"]
+    for n in range(1, size):
+        rows.append(
+            b"%010d 00000 n \n" % offsets[n] if n in offsets else b"0000000000 65535 f \n"
+        )
+    buf.extend(b"xref\n0 %d\n" % size + b"".join(rows))
+    buf.extend(b"trailer\n<< /Size %d /Root %d 0 R >>\n" % (size, root))
+    buf.extend(b"startxref\n%d\n%%%%EOF\n" % xref_offset)
+    return bytes(buf)
+
+
+# font A: CID 3 -> 'A', CID 4 -> 'pple'; font B reuses the SAME CIDs
+CMAP_A = _cmap_stream([(b"0003", b"0041"), (b"0004", b"00700070006C0065")])
+CMAP_B = _cmap_stream([(b"0003", b"0042"), (b"0004", b"0061006E0061006E0061")])
+
+
+def _two_font_pdf(content, pages_resources=False):
+    """One page, two Type0 fonts /FA /FB with CONFLICTING ToUnicode maps.
+    ``pages_resources`` hangs /Resources off the Pages node (inheritance)
+    instead of the page."""
+    res = b"/Resources << /Font << /FA 5 0 R /FB 6 0 R >> >>"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 %s>>"
+        % (res if pages_resources else b""),
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R %s>>"
+        % (b"" if pages_resources else res),
+        4: ("stream", b"", content),
+        5: b"<< /Type /Font /Subtype /Type0 /BaseFont /FakeA /ToUnicode 7 0 R >>",
+        6: b"<< /Type /Font /Subtype /Type0 /BaseFont /FakeB /ToUnicode 8 0 R >>",
+        7: ("stream", b"", CMAP_A),
+        8: ("stream", b"", CMAP_B),
+    }
+    return _build_pdf_with_fonts(objs)
+
+
+def test_pdf_per_font_conflicting_cmaps_decode_correctly():
+    """Two Type0 fonts reusing the same CID space with different ToUnicode
+    maps — the r4 envelope edge (document-merge conflicts fell back to
+    latin-1) — now decode per font via Resources→Font→ToUnicode + Tf.
+    The font persists across BT blocks until the next Tf."""
+    content = (
+        b"BT /FA 12 Tf <00030004> Tj ET\n"   # 'Apple'
+        b"BT /FB 12 Tf <00030004> Tj ET\n"   # 'Banana'
+        b"BT [<0003> (x) <0004>] TJ ET\n"    # still FB: 'B' + 'x' + 'anana'
+    )
+    lines = pdf_to_text_lines(_two_font_pdf(content))
+    # literal (x) under a Type0 font: no 2-byte code maps, so the string
+    # degrades to latin-1 (writer junk must stay readable, not drop)
+    assert lines == ["Apple", "Banana", "Bxanana"], lines
+
+
+def test_pdf_font_resources_inherit_from_pages_node():
+    content = b"BT /FA 1 Tf <0003> Tj ET\nBT /FB 1 Tf <0003> Tj ET"
+    lines = pdf_to_text_lines(_two_font_pdf(content, pages_resources=True))
+    assert lines == ["A", "B"], lines
+
+
+def test_pdf_tf_inside_literal_does_not_switch_font():
+    content = (
+        b"BT /FA 12 Tf (quoting /FB 9 Tf here) Tj ET\n"
+        b"BT <0003> Tj ET"  # still FA: 'A'
+    )
+    lines = pdf_to_text_lines(_two_font_pdf(content))
+    assert lines == ["quoting /FB 9 Tf here", "A"], lines
+
+
+def test_pdf_unresolved_font_name_falls_back_to_document_cmap():
+    """A Tf naming a font absent from /Resources (broken writer) keeps the
+    document-CMap fallback instead of dropping text: here the two CMaps
+    conflict, so the merged map is None and bytes read as latin-1."""
+    content = b"BT /Missing 12 Tf <4869> Tj ET"
+    lines = pdf_to_text_lines(_two_font_pdf(content))
+    assert lines == ["Hi"], lines
+
+
+def test_pdf_simple_font_tounicode_maps_single_bytes():
+    """A simple (1-byte-code) font with its own ToUnicode: mapped bytes
+    translate, unmapped bytes keep their latin-1 identity."""
+    cmap = _cmap_stream([(b"41", b"03A9")])  # 'A' -> GREEK CAPITAL OMEGA
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /Font << /F1 5 0 R >> >> >>",
+        4: ("stream", b"", b"BT /F1 10 Tf (ABC) Tj <414243> ' ET"),
+        5: b"<< /Type /Font /Subtype /TrueType /BaseFont /Fake /ToUnicode 6 0 R >>",
+        6: ("stream", b"", cmap),
+    }
+    lines = pdf_to_text_lines(_build_pdf_with_fonts(objs))
+    assert lines == ["ΩBC", "ΩBC"], lines
