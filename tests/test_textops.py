@@ -426,7 +426,9 @@ def test_dedup_groups_raises_when_not_converged(spark):
 
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup_groups(docs, max_iters=0)
+        # gate off the driver-local solve: this pins the DISTRIBUTED rounds'
+        # non-convergence raise (the local union-find never iterates)
+        dedup_groups(docs, max_iters=0, driver_solve_max_edges=0)
 
 
 def test_connected_components_long_chain_converges_log_rounds(spark):
@@ -440,9 +442,33 @@ def test_connected_components_long_chain_converges_log_rounds(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(59)], "doc_a int, doc_b int"
     )
-    rows = connected_components(chain, max_iters=8).collect()
+    # driver_solve_max_edges=0 pins the DISTRIBUTED pointer-jump rounds
+    # (the default would solve 59 edges on the driver)
+    rows = connected_components(chain, max_iters=8, driver_solve_max_edges=0).collect()
     assert len(rows) == 60
     assert all(r.canonical_doc_id == 0 for r in rows)
+
+
+def test_connected_components_driver_solve_equals_distributed(spark):
+    """The size-gated driver-local union-find (small graphs skip the
+    scheduled rounds) must produce EXACTLY the distributed labeling —
+    same rows, same min-label-per-component semantics — on a graph
+    mixing chains, a clique, singleton-free isolates-free structure."""
+    from go_readability_spark.textops.dedup import connected_components
+
+    edges = (
+        [(i, i + 1) for i in range(20)]                  # 21-node chain
+        + [(100 + a, 100 + b) for a in range(5) for b in range(a + 1, 5)]  # clique
+        + [(200, 201), (203, 202), (201, 203)]           # out-of-order links
+    )
+    pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    local = {(r.doc_id, r.canonical_doc_id) for r in connected_components(pairs).collect()}
+    dist = {
+        (r.doc_id, r.canonical_doc_id)
+        for r in connected_components(pairs, driver_solve_max_edges=0).collect()
+    }
+    assert local == dist
+    assert {c for _, c in local} == {0, 100, 200}
 
 
 def test_dedup_groups_matches_union_find(spark):
