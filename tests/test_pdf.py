@@ -556,3 +556,13 @@ def test_pdf_simple_font_tounicode_maps_single_bytes():
     }
     lines = pdf_to_text_lines(_build_pdf_with_fonts(objs))
     assert lines == ["ΩBC", "ΩBC"], lines
+
+
+def test_pdf_fuzz_burst_never_raises():
+    """A bounded burst of the structure-aware mutation fuzz (the long run
+    lives in tools/fuzz_pdf.py): pdf_to_text_lines must never raise on
+    adversarial bytes — crawl PDFs are adversarial by construction."""
+    import importlib
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    fuzz = importlib.import_module("fuzz_pdf")
+    assert fuzz.main(2.0) == 0
